@@ -1,0 +1,196 @@
+"""Unit tests for the pure-JAX coverage environment (semantics per
+reference CoverageWorld.py / scenarios/coverage.py / environment.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcc_tpu.envs import (
+    EnvConfig,
+    observation,
+    reset,
+    reset_batch,
+    share_obs_from_obs,
+    step,
+    step_batch,
+)
+from dcc_tpu.envs.coverage import connectivity, default_poi_bank
+
+CFG = EnvConfig()
+F32 = jnp.float32
+
+
+def test_reset_deterministic_layout():
+    s = reset(CFG, jax.random.PRNGKey(0))
+    assert s.pos.shape == (4, 2) and np.all(np.asarray(s.pos) == 0)
+    assert np.all(np.asarray(s.vel) == 0)
+    np.testing.assert_allclose(
+        np.asarray(s.poi_pos), default_poi_bank()[:20], atol=1e-6
+    )
+    assert np.all(~np.asarray(s.poi_done))
+
+
+def test_obs_shape_and_layout():
+    s = reset(CFG, jax.random.PRNGKey(0))
+    obs = np.asarray(observation(CFG, s))
+    assert obs.shape == (4, CFG.obs_dim) and CFG.obs_dim == 110
+    # per-poi block: [dx, dy, energy, m_energy, done]
+    assert np.all(obs[:, 13::5] == CFG.m_energy)  # m_energy slots
+    assert np.all(obs[:, 14::5] == 0.0)  # done slots at reset
+
+
+def test_integration_and_speed_clamp():
+    s = reset(CFG, jax.random.PRNGKey(0))
+    a = jnp.array([[1.0, 0.0], [0.6, 0.8], [0.0, 0.0], [-0.02, 0.0]], F32)
+    s2, _ = step(CFG, s, a)
+    v = np.asarray(s2.vel)
+    # vel = 0*(1-damping) + 5a*dt = 0.5a, clamped to max_speed=0.5
+    np.testing.assert_allclose(v[0], [0.5, 0.0], atol=1e-6)  # |0.5a|=0.5 on boundary
+    np.testing.assert_allclose(v[1], [0.3, 0.4], atol=1e-6)  # |v|=0.5 exactly
+    np.testing.assert_allclose(v[2], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(v[3], [-0.01, 0.0], atol=1e-6)  # below clamp
+    np.testing.assert_allclose(np.asarray(s2.pos), v * CFG.dt, atol=1e-6)
+
+
+def test_energy_accumulation_and_done():
+    # Place agents directly on a PoI: +N energy per step, done at m_energy.
+    s = reset(CFG, jax.random.PRNGKey(0))
+    poi0 = s.poi_pos[0]
+    s = s.replace(pos=jnp.tile(poi0[None, :], (4, 1)))
+    zero = jnp.zeros((4, 2), F32)
+    s, out = step(CFG, s, zero)
+    e = np.asarray(s.energy)
+    assert e[0] == 4.0  # all 4 agents within r_cover (they barely move)
+    assert not bool(np.asarray(s.poi_done)[0])
+    s, out = step(CFG, s, zero)
+    assert np.asarray(s.energy)[0] == 8.0
+    assert bool(np.asarray(s.poi_done)[0])  # 8 >= m_energy=5
+    assert abs(float(out.coverage_rate) - 1.0 / 20.0) < 1e-6
+    # energy frozen once done
+    s, _ = step(CFG, s, zero)
+    assert np.asarray(s.energy)[0] == 8.0
+
+
+def test_cover_bonus_counted_once_not_n_times():
+    """Reference quirk #7: the +75 cover bonus is consumed by the first
+    agent's reward callback (scenarios/coverage.py:87-89) so the team total
+    counts it once, while every other term is summed N times."""
+    s = reset(CFG, jax.random.PRNGKey(0))
+    poi0 = s.poi_pos[0]
+    s = s.replace(pos=jnp.tile(poi0[None, :], (4, 1)), energy=jnp.full((20,), 4.0, F32))
+    s2, out = step(CFG, s, jnp.zeros((4, 2), F32))
+    # after step: poi0 gets +4 -> 8 >= 5 -> newly done (others depend on dists)
+    newly = np.asarray(s2.poi_done) & ~np.asarray(s.poi_done)
+    n_new = int(newly.sum())
+    assert n_new >= 1
+    # reconstruct: reward = 4*(track+oob+done) + 75*n_new
+    d = np.linalg.norm(
+        np.asarray(s2.pos)[:, None, :] - np.asarray(s2.poi_pos)[None, :, :], axis=-1
+    )
+    track = -np.sum(np.min(d, axis=0)[~np.asarray(s2.poi_done)])
+    expected = 4 * track + 75.0 * n_new
+    np.testing.assert_allclose(float(out.reward), expected, rtol=1e-5)
+
+
+def test_out_of_bounds_penalty_and_done():
+    s = reset(CFG, jax.random.PRNGKey(0))
+    pos = jnp.array([[1.6, 0.0], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]], F32)
+    s = s.replace(pos=pos)
+    s2, out = step(CFG, s, jnp.zeros((4, 2), F32))
+    assert bool(out.done)  # |x| > 1.5 -> episode done (coverage.py:112-117)
+    # penalty: N * rew_out * (sum(|p|-1 where >1) + count(any |p|>1.5))
+    p = np.asarray(s2.pos)
+    over = np.maximum(np.abs(p) - 1.0, 0).sum()
+    hard = (np.abs(p) > 1.5).any(axis=1).sum()
+    d = np.linalg.norm(p[:, None, :] - np.asarray(s2.poi_pos)[None, :, :], axis=-1)
+    track = -np.min(d, axis=0).sum()
+    np.testing.assert_allclose(
+        float(out.reward), 4 * (track + CFG.rew_out * (over + hard)), rtol=1e-5
+    )
+
+
+def test_all_done_bonus():
+    s = reset(CFG, jax.random.PRNGKey(0))
+    s = s.replace(
+        poi_done=jnp.ones((20,), bool).at[0].set(False),
+        energy=jnp.full((20,), 9.0, F32),
+        pos=jnp.tile(s.poi_pos[0][None, :], (4, 1)),
+    )
+    s2, out = step(CFG, s, jnp.zeros((4, 2), F32))
+    assert bool(np.asarray(s2.poi_done).all())
+    assert bool(out.done)
+    # 4*1500 (done bonus summed per agent) + 75 (one newly covered)
+    np.testing.assert_allclose(float(out.reward), 4 * 1500.0 + 75.0, rtol=1e-6)
+    assert abs(float(out.coverage_rate) - 1.0) < 1e-6
+
+
+def test_connectivity_matrices():
+    cfg = EnvConfig(comm_force_scale=1.0, comm_r_scale=0.9)
+    # chain layout: 0-1-2 connected (d=0.5 < 0.8), 3 isolated
+    pos = jnp.array([[0.0, 0.0], [0.5, 0.0], [1.0, 0.0], [5.0, 5.0]], jnp.float64)
+    dist, adj, adj_, connect, connect_s = connectivity(cfg, pos)
+    a = np.asarray(adj)
+    assert a[0, 1] == 1 and a[1, 2] == 1 and a[0, 2] == 0  # d=1.0 >= 0.8
+    assert np.all(a[3] == 0) and np.all(np.diag(a) == 0)
+    assert not bool(connect)  # 3 unreachable
+    a_ = np.asarray(adj_)
+    assert a_[0, 1] == 1  # 0.5 < 0.72
+    assert not bool(connect_s)
+
+
+def test_connectivity_fully_connected():
+    cfg = EnvConfig(comm_force_scale=1.0, comm_r_scale=0.9)
+    pos = jnp.array([[0.0, 0.0], [0.3, 0.0], [0.0, 0.3], [0.3, 0.3]], jnp.float64)
+    _, _, _, connect, connect_s = connectivity(cfg, pos)
+    assert bool(connect) and bool(connect_s)
+
+
+def test_batch_step_and_autoreset():
+    key = jax.random.PRNGKey(0)
+    states = reset_batch(CFG, key, 8)
+    assert states.pos.shape == (8, 4, 2)
+    # drive one env out of bounds -> it must auto-reset in-step
+    pos = states.pos.at[3].set(jnp.array([[1.7, 0.0]] * 4, F32))
+    states = states.replace(pos=pos)
+    actions = jnp.zeros((8, 4, 2), F32)
+    new_states, out = step_batch(CFG, states, actions)
+    assert bool(np.asarray(out.done)[3])
+    assert not np.asarray(out.done)[[0, 1, 2, 4, 5, 6, 7]].any()
+    # env 3 reset: agents back at origin, obs is the reset obs
+    np.testing.assert_allclose(np.asarray(new_states.pos[3]), 0.0, atol=1e-7)
+    fresh_obs = observation(CFG, jax.tree_util.tree_map(lambda x: x[3], new_states))
+    np.testing.assert_allclose(np.asarray(out.obs[3]), np.asarray(fresh_obs), atol=1e-6)
+    # env 0 untouched by reset
+    np.testing.assert_allclose(
+        np.asarray(new_states.pos[0]), np.asarray(states.pos[0]), atol=1e-7
+    )
+
+
+def test_share_obs_layout():
+    obs = jnp.arange(2 * 4 * 110, dtype=F32).reshape(2, 4, 110)
+    so = np.asarray(share_obs_from_obs(obs))
+    assert so.shape == (2, 4, 440)
+    np.testing.assert_array_equal(so[0, 0], np.asarray(obs[0]).reshape(-1))
+    np.testing.assert_array_equal(so[0, 1], so[0, 0])  # replicated per agent
+
+
+def test_configurable_sizes_actually_take_effect():
+    """Reference quirk #1 fixed: N/M are real parameters here
+    (make_world hardcodes 4/20 at scenarios/coverage.py:40-41)."""
+    cfg = EnvConfig(n_agents=6, n_pois=10)
+    s = reset(cfg, jax.random.PRNGKey(0))
+    assert s.pos.shape == (6, 2) and s.energy.shape == (10,)
+    obs = observation(cfg, s)
+    assert obs.shape == (6, cfg.obs_dim) and cfg.obs_dim == 4 + 10 + 50
+    s2, out = step(cfg, s, jnp.zeros((6, 2), F32))
+    assert out.obs.shape == (6, 64)
+
+
+def test_moving_pois_extension():
+    cfg = EnvConfig(poi_speed=0.1)
+    s = reset(cfg, jax.random.PRNGKey(1))
+    speeds = np.linalg.norm(np.asarray(s.poi_vel), axis=-1)
+    np.testing.assert_allclose(speeds, 0.1, atol=1e-6)
+    s2, _ = step(cfg, s, jnp.zeros((4, 2), F32))
+    assert not np.allclose(np.asarray(s2.poi_pos), np.asarray(s.poi_pos))
+    assert np.all(np.abs(np.asarray(s2.poi_pos)) <= 1.0)

@@ -1,0 +1,83 @@
+"""Golden-trace parity: the pure-JAX env must reproduce the reference
+environment's per-step observations / rewards / dones / coverage rates.
+
+Golden files are recorded from the torch/numpy reference by
+``scripts/record_golden.py`` (random-action traces under fixed seed) and
+committed under ``tests/golden/``. The replay runs as one ``lax.scan`` in
+float64, so tolerances are fp-reordering noise only:
+
+* force off (default config): exact to ~1e-12
+* connectivity force on: the softplus pull force has a 1e-3 contact margin
+  (Lipschitz ~1e3 x contact_force), so fp reordering is amplified -> 1e-3.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcc_tpu.envs import EnvConfig, observation, reset, step
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _replay(cfg, state, actions):
+    def body(s, a):
+        s, out = step(cfg, s, a)
+        return s, out
+
+    return jax.lax.scan(body, state, actions)
+
+
+def _load(name):
+    g = np.load(os.path.join(GOLDEN, name + ".npz"))
+    cfg = EnvConfig(
+        n_agents=int(g["num_agents"]),
+        n_pois=int(g["num_pois"]),
+        comm_force_scale=float(g["comm_force_scale"]),
+        comm_r_scale=float(g["comm_r_scale"]),
+    )
+    return cfg, g
+
+
+@pytest.mark.parametrize(
+    "name,tol_obs,tol_rew",
+    [
+        ("default_4x20", 1e-10, 1e-8),
+        ("connect_4x20", 1e-3, 1e-2),
+        ("connect_smallact_4x20", 1e-10, 1e-8),
+    ],
+)
+def test_golden_trace(name, tol_obs, tol_rew):
+    cfg, g = _load(name)
+    state = reset(cfg, jax.random.PRNGKey(0), dtype=jnp.float64)
+
+    # reset parity (agents at origin, PoIs from the frozen bank)
+    np.testing.assert_allclose(
+        np.asarray(observation(cfg, state)), g["obs0"], atol=1e-12
+    )
+
+    _, outs = _replay(cfg, state, jnp.asarray(g["actions"]))
+    np.testing.assert_allclose(np.asarray(outs.obs), g["obs"], atol=tol_obs)
+    np.testing.assert_allclose(
+        np.asarray(outs.reward), g["rewards"][:, 0], atol=tol_rew
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs.done), g["dones"].all(axis=1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs.coverage_rate), g["coverage_rate"], atol=1e-12
+    )
+
+
+def test_shared_reward_is_identical_across_agents():
+    """Reference broadcasts the team total to every agent
+    (environment.py:105-108); our StepOut carries one scalar -- check the
+    golden per-agent rewards really are identical so the scalar is lossless."""
+    _, g = _load("default_4x20")
+    r = g["rewards"]
+    assert np.all(r == r[:, :1])
