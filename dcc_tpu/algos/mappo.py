@@ -1,0 +1,537 @@
+"""Shared-parameter MAPPO: on-device actor-learner.
+
+TPU-native re-design of the reference MAPPO stack (``algos/mappo.py``,
+``learner.py``, ``buffer/shared_buffer.py``): the rollout is a ``lax.scan``
+over the vmapped env (no host/device ping-pong per step, cf. the reference's
+per-step GPU round-trip at ``learner.py:231-245``), GAE is a reverse scan,
+and the PPO epoch/minibatch loop is a ``lax.scan`` over optimizer updates —
+one jitted ``train_iteration`` per outer iteration.
+
+Semantics parity notes (all against ``/root/reference/uav_dcc_control``):
+
+* clipped surrogate + clipped Huber value loss + entropy bonus
+  (``mappo.py:103-169``), active-mask weighted means (all-ones masks in this
+  env, matching ``learner.py:254-276`` which never zeroes active_masks)
+* ValueNorm updated inside every ppo_update *before* normalizing the returns
+  (``mappo.py:106-107``), beta=0.99999
+* advantages = returns - denorm(value_preds), normalized once per iteration
+  with masked mean/std (``mappo.py:190-198``)
+* two Adam optimizers (actor/critic) with eps=1e-5, per-network global-norm
+  clip at 10, and linear LR decay stepped once per outer iteration
+  (``mappo.py:30-41``, ``utils/util.py:29-33``)
+* every rollout starts from a fresh env reset (``learner.py:178,216-224``)
+* the critic sees the concatenated team observation replicated per agent
+  (``learner.py:218-224``); since all agents of an env share it, values/GAE
+  are computed once per env and broadcast -- numerically identical to the
+  reference's per-agent duplicate rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..envs import EnvConfig, reset_batch, step_batch
+from ..envs.coverage import observation
+from ..models import Actor, Critic
+from ..models import distributions as D
+from ..models import popart as PA
+from ..models import valuenorm as VN
+from ..ops.gae import compute_gae, discounted_returns
+
+
+class MAPPOConfig(NamedTuple):
+    """Algorithm hyperparameters (defaults mirror config/algo_config/mappo.yaml)."""
+
+    # ppo
+    clip_param: float = 0.2
+    ppo_epoch: int = 15
+    num_mini_batch: int = 1
+    data_chunk_length: int = 10
+    value_loss_coef: float = 1.0
+    entropy_coef: float = 0.01
+    max_grad_norm: float = 10.0
+    huber_delta: float = 10.0
+    use_clipped_value_loss: bool = True
+    use_huber_loss: bool = True
+    use_max_grad_norm: bool = True
+    use_value_active_masks: bool = True
+    use_policy_active_masks: bool = True
+    # returns
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    use_gae: bool = True
+    use_proper_time_limits: bool = False
+    use_popart: bool = False
+    use_valuenorm: bool = True
+    # optimizer
+    actor_lr: float = 5e-4
+    critic_lr: float = 5e-4
+    opti_eps: float = 1e-5
+    weight_decay: float = 0.0
+    use_linear_lr_decay: bool = True
+    # networks
+    hidden_size: int = 256
+    layer_n: int = 1
+    use_relu: bool = True
+    use_feature_normalization: bool = True
+    use_orthogonal: bool = True
+    gain: float = 0.01
+    use_recurrent_policy: bool = False
+    use_naive_recurrent: bool = False
+    recurrent_n: int = 1
+    use_centralized_v: bool = True
+    # run shape
+    n_rollout_threads: int = 16
+    episode_length: int = 150
+    n_iters: int = 200
+
+
+@struct.dataclass
+class TrainState:
+    actor_params: Any
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    vnorm: Optional[VN.ValueNormState]
+    popart: Optional[PA.PopArtState]
+    update_count: jax.Array  # () int32, adam steps taken
+    iteration: jax.Array  # () int32, outer iterations finished
+
+
+class Trajectory(NamedTuple):
+    """Time-major on-device rollout storage, the scan-native analog of
+    SharedReplayBuffer's (T+1, E, A, .) numpy arrays (shared_buffer.py:38-68).
+    Values/rewards/masks are stored per env (shared across agents, see module
+    docstring)."""
+
+    obs: jax.Array  # (T+1, E, A, D)
+    actions: jax.Array  # (T, E, A, act)
+    log_probs: jax.Array  # (T, E, A, 1)
+    values: jax.Array  # (T+1, E, 1)
+    rewards: jax.Array  # (T, E, 1)
+    masks: jax.Array  # (T+1, E, 1)
+    coverage: jax.Array  # (T, E)
+
+
+class Metrics(NamedTuple):
+    reward: jax.Array
+    coverage_rate: jax.Array
+    value_loss: jax.Array
+    policy_loss: jax.Array
+    dist_entropy: jax.Array
+    actor_grad_norm: jax.Array
+    critic_grad_norm: jax.Array
+    ratio: jax.Array
+
+
+def _huber(e: jax.Array, delta: float) -> jax.Array:
+    """utils/util.py:36-38: a*e^2/2 + b*delta*(|e| - delta/2)."""
+    a = (jnp.abs(e) <= delta).astype(e.dtype)
+    b = (e > delta).astype(e.dtype)
+    return a * e**2 / 2.0 + b * delta * (jnp.abs(e) - delta / 2.0)
+
+
+def _mse(e: jax.Array) -> jax.Array:
+    return e**2 / 2.0
+
+
+class MAPPO:
+    """Static bundle of modules + pure training functions.
+
+    All methods are pure; ``train_iteration`` is designed to be jitted (or
+    pjit-sharded over an env-axis mesh) as a whole.
+    """
+
+    def __init__(self, cfg: MAPPOConfig, env_cfg: EnvConfig):
+        if cfg.use_popart and cfg.use_valuenorm:
+            raise ValueError("use_popart and use_valuenorm are mutually exclusive")
+        self.cfg = cfg
+        self.env_cfg = env_cfg
+        net_kwargs = dict(
+            hidden_size=cfg.hidden_size,
+            layer_n=cfg.layer_n,
+            use_relu=cfg.use_relu,
+            use_feature_normalization=cfg.use_feature_normalization,
+            use_orthogonal=cfg.use_orthogonal,
+            use_rnn=cfg.use_recurrent_policy or cfg.use_naive_recurrent,
+            recurrent_n=cfg.recurrent_n,
+        )
+        self.actor = Actor(
+            action_dim=env_cfg.action_dim, gain=cfg.gain, **net_kwargs
+        )
+        self.critic = Critic(**net_kwargs)
+        self.obs_dim = env_cfg.obs_dim
+        self.cent_obs_dim = (
+            env_cfg.share_obs_dim if cfg.use_centralized_v else env_cfg.obs_dim
+        )
+        self._recurrent = cfg.use_recurrent_policy or cfg.use_naive_recurrent
+
+        updates_per_iter = cfg.ppo_epoch * cfg.num_mini_batch
+
+        def lr_schedule(base_lr):
+            if not cfg.use_linear_lr_decay:
+                return base_lr
+
+            def sched(count):
+                # update_linear_schedule(episode=iter, episodes=n_iters):
+                # lr = base * (1 - iter/n_iters); lr_decay is called before
+                # iteration `iter` (1-based), learner.py:136-137.
+                it = count // updates_per_iter + 1
+                frac = 1.0 - it.astype(jnp.float32) / cfg.n_iters
+                return jnp.maximum(base_lr * frac, 0.0)
+
+            return sched
+
+        def make_tx(lr):
+            adam = optax.adam(learning_rate=lr_schedule(lr), eps=cfg.opti_eps)
+            if cfg.weight_decay:
+                adam = optax.adamw(
+                    learning_rate=lr_schedule(lr),
+                    eps=cfg.opti_eps,
+                    weight_decay=cfg.weight_decay,
+                )
+            if cfg.use_max_grad_norm:
+                return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
+            return adam
+
+        self.actor_tx = make_tx(cfg.actor_lr)
+        self.critic_tx = make_tx(cfg.critic_lr)
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> TrainState:
+        k_a, k_c = jax.random.split(key)
+        dummy_obs = jnp.zeros((1, self.obs_dim), jnp.float32)
+        dummy_cent = jnp.zeros((1, self.cent_obs_dim), jnp.float32)
+        if self._recurrent:
+            h = jnp.zeros((1, self.cfg.recurrent_n, self.cfg.hidden_size))
+            m = jnp.ones((1, 1))
+            actor_params = self.actor.init(k_a, dummy_obs, h, m)
+            critic_params = self.critic.init(k_c, dummy_cent, h, m)
+        else:
+            actor_params = self.actor.init(k_a, dummy_obs)
+            critic_params = self.critic.init(k_c, dummy_cent)
+        return TrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            vnorm=VN.init() if self.cfg.use_valuenorm else None,
+            popart=PA.init() if self.cfg.use_popart else None,
+            update_count=jnp.zeros((), jnp.int32),
+            iteration=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # acting
+    # ------------------------------------------------------------------
+    def act(self, actor_params, key, obs, deterministic: bool = False):
+        """obs: (..., D) -> (action (..., act), log_prob (..., 1))."""
+        (mean, log_std), _ = self.actor.apply(actor_params, obs)
+        if deterministic:
+            action = D.normal_mode(mean)
+        else:
+            action = D.normal_sample(key, mean, log_std)
+        return action, D.normal_log_prob(mean, log_std, action)
+
+    def value(self, critic_params, cent_obs):
+        v, _ = self.critic.apply(critic_params, cent_obs)
+        return v
+
+    def _denorm(self, ts: TrainState, v: jax.Array) -> jax.Array:
+        if self.cfg.use_valuenorm:
+            return VN.denormalize(ts.vnorm, v)
+        if self.cfg.use_popart:
+            return PA.denormalize(ts.popart, v)
+        return v
+
+    # ------------------------------------------------------------------
+    # rollout
+    # ------------------------------------------------------------------
+    def rollout(
+        self, ts: TrainState, key: jax.Array, n_envs: int, deterministic: bool = False
+    ) -> Trajectory:
+        """Fresh-reset rollout of episode_length steps over n_envs vmapped
+        envs — the scan-native equivalent of Learner.rollout/collect/insert
+        (learner.py:178-276)."""
+        cfg, env_cfg = self.cfg, self.env_cfg
+        n_agents = env_cfg.n_agents
+        T = cfg.episode_length
+        key, k_reset = jax.random.split(key)
+        states = reset_batch(env_cfg, k_reset, n_envs)
+        obs0 = jax.vmap(lambda s: observation(env_cfg, s))(states)
+
+        def body(carry, _):
+            states, obs, key = carry
+            key, k_act = jax.random.split(key)
+            # decentralized actors on (E*A, D)
+            flat_obs = obs.reshape(n_envs * n_agents, -1)
+            action, logp = self.act(ts.actor_params, k_act, flat_obs, deterministic)
+            action = action.reshape(n_envs, n_agents, -1)
+            logp = logp.reshape(n_envs, n_agents, 1)
+            # centralized critic once per env (see module docstring)
+            cent = obs.reshape(n_envs, -1)
+            v = self.value(ts.critic_params, cent)  # (E, 1)
+            new_states, out = step_batch(env_cfg, states, action)
+            mask_next = 1.0 - out.done.astype(jnp.float32)[:, None]
+            ys = (
+                obs,
+                action,
+                logp,
+                v,
+                out.reward[:, None],
+                mask_next,
+                out.coverage_rate,
+            )
+            return (new_states, out.obs, key), ys
+
+        (states, obs_T, _), (obs, actions, logps, values, rewards, masks, cover) = (
+            jax.lax.scan(body, (states, obs0, key), None, length=T)
+        )
+        v_T = self.value(ts.critic_params, obs_T.reshape(n_envs, -1))
+        mask0 = jnp.ones((1, n_envs, 1), jnp.float32)
+        return Trajectory(
+            obs=jnp.concatenate([obs, obs_T[None]], axis=0),
+            actions=actions,
+            log_probs=logps,
+            values=jnp.concatenate([values, v_T[None]], axis=0),
+            rewards=rewards,
+            masks=jnp.concatenate([mask0, masks], axis=0),
+            coverage=cover,
+        )
+
+    # ------------------------------------------------------------------
+    # returns / advantages
+    # ------------------------------------------------------------------
+    def compute_returns(self, ts: TrainState, traj: Trajectory):
+        """shared_buffer.compute_returns semantics (GAE w/ denormalized
+        bootstrapping, shared_buffer.py:199-213)."""
+        cfg = self.cfg
+        values = self._denorm(ts, traj.values)
+        if cfg.use_gae:
+            adv, returns = compute_gae(
+                traj.rewards, values, traj.masks, cfg.gamma, cfg.gae_lambda
+            )
+        else:
+            returns = discounted_returns(
+                traj.rewards, values[-1], traj.masks, cfg.gamma
+            )
+            adv = returns - values[:-1]
+        return adv, returns
+
+    # ------------------------------------------------------------------
+    # ppo update
+    # ------------------------------------------------------------------
+    def update(self, ts: TrainState, key: jax.Array, traj: Trajectory, adv, returns):
+        """The epoch/minibatch PPO loop as a lax.scan (MAPPOTrainer.train,
+        mappo.py:189-227)."""
+        cfg = self.cfg
+        T, E, A, _ = traj.actions.shape
+
+        # advantage normalization over all (T,E,A) rows; active_masks are all
+        # ones in this env so nanmean == mean (mappo.py:190-198)
+        adv_mean = adv.mean()
+        adv_std = adv.std()
+        adv_n = (adv - adv_mean) / (adv_std + 1e-5)
+
+        # flatten: policy rows (T*E*A), value rows (T*E)
+        obs_rows = traj.obs[:-1].reshape(T * E * A, -1)
+        act_rows = traj.actions.reshape(T * E * A, -1)
+        logp_rows = traj.log_probs.reshape(T * E * A, 1)
+        adv_rows = jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)).reshape(
+            T * E * A, 1
+        )
+        cent_rows = traj.obs[:-1].reshape(T * E, A * self.obs_dim)
+        vpred_rows = traj.values[:-1].reshape(T * E, 1)
+        ret_rows = returns.reshape(T * E, 1)
+
+        batch = (obs_rows, act_rows, logp_rows, adv_rows, cent_rows, vpred_rows, ret_rows)
+
+        def minibatch_update(carry, mb):
+            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+            obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b = mb
+
+            # ValueNorm/PopArt update BEFORE normalize (mappo.py:106-107).
+            if cfg.use_valuenorm:
+                vnorm = VN.update(vnorm, ret_b)
+                ret_target = VN.normalize(vnorm, ret_b)
+            elif cfg.use_popart:
+                kernel = critic_params["params"]["v_out"]["kernel"]
+                bias = critic_params["params"]["v_out"]["bias"]
+                popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
+                new_head = {**critic_params["params"]["v_out"], "kernel": kernel, "bias": bias}
+                critic_params = {
+                    **critic_params,
+                    "params": {**critic_params["params"], "v_out": new_head},
+                }
+                ret_target = PA.normalize(popart, ret_b)
+            else:
+                ret_target = ret_b
+
+            def loss_fn(a_params, c_params):
+                (mean, log_std), _ = self.actor.apply(a_params, obs_b)
+                new_logp = D.normal_log_prob(mean, log_std, act_b)
+                ent = D.normal_entropy(log_std, mean)  # (B, act)
+                dist_entropy = ent.mean(axis=0).sum()  # all-ones active masks
+
+                ratio = jnp.exp(new_logp - logp_b)
+                surr1 = ratio * adv_b
+                surr2 = (
+                    jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv_b
+                )
+                policy_loss = -jnp.sum(
+                    jnp.minimum(surr1, surr2), axis=-1, keepdims=True
+                ).mean()
+
+                values = self.value(c_params, cent_b)
+                v_clip = vpred_b + jnp.clip(
+                    values - vpred_b, -cfg.clip_param, cfg.clip_param
+                )
+                err = ret_target - values
+                err_c = ret_target - v_clip
+                lf = (lambda e: _huber(e, cfg.huber_delta)) if cfg.use_huber_loss else _mse
+                vl = jnp.maximum(lf(err), lf(err_c)) if cfg.use_clipped_value_loss else lf(err)
+                value_loss = vl.mean()
+
+                total = (
+                    policy_loss
+                    - dist_entropy * cfg.entropy_coef
+                    + value_loss * cfg.value_loss_coef
+                )
+                return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                actor_params, critic_params
+            )
+            a_grads, c_grads = grads
+            a_norm = optax.global_norm(a_grads)
+            c_norm = optax.global_norm(c_grads)
+            a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+            actor_params = optax.apply_updates(actor_params, a_updates)
+            c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+            critic_params = optax.apply_updates(critic_params, c_updates)
+            policy_loss, value_loss, dist_entropy, ratio = aux
+            metrics = jnp.stack(
+                [value_loss, policy_loss, dist_entropy, a_norm, c_norm, ratio]
+            )
+            return (
+                actor_params,
+                critic_params,
+                a_opt,
+                c_opt,
+                vnorm,
+                popart,
+                count + 1,
+            ), metrics
+
+        def epoch(carry, key_e):
+            if cfg.num_mini_batch == 1:
+                carry, m = minibatch_update(carry, batch)
+                return carry, m[None]
+            B = T * E * A
+            Bv = T * E
+            mb = B // cfg.num_mini_batch
+            mbv = Bv // cfg.num_mini_batch
+            perm = jax.random.permutation(key_e, B)[: mb * cfg.num_mini_batch]
+            perm = perm.reshape(cfg.num_mini_batch, mb)
+            # value-side rows permuted consistently per agent-block: use an
+            # independent permutation of env-step rows (order within a
+            # minibatch does not affect the reductions)
+            perm_v = jax.random.permutation(
+                jax.random.fold_in(key_e, 1), Bv
+            )[: mbv * cfg.num_mini_batch].reshape(cfg.num_mini_batch, mbv)
+
+            def inner(carry, idx):
+                ia, iv = idx
+                mb_data = (
+                    obs_rows[ia],
+                    act_rows[ia],
+                    logp_rows[ia],
+                    adv_rows[ia],
+                    cent_rows[iv],
+                    vpred_rows[iv],
+                    ret_rows[iv],
+                )
+                return minibatch_update(carry, mb_data)
+
+            return jax.lax.scan(inner, carry, (perm, perm_v))
+
+        keys = jax.random.split(key, cfg.ppo_epoch)
+        carry = (
+            ts.actor_params,
+            ts.critic_params,
+            ts.actor_opt,
+            ts.critic_opt,
+            ts.vnorm,
+            ts.popart,
+            ts.update_count,
+        )
+        carry, metrics = jax.lax.scan(epoch, carry, keys)
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        ts = ts.replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=a_opt,
+            critic_opt=c_opt,
+            vnorm=vnorm,
+            popart=popart,
+            update_count=count,
+            iteration=ts.iteration + 1,
+        )
+        m = metrics.reshape(-1, 6).mean(axis=0)
+        return ts, m
+
+    # ------------------------------------------------------------------
+    # full iteration
+    # ------------------------------------------------------------------
+    def train_iteration(self, ts: TrainState, key: jax.Array):
+        """One outer iteration: fresh-reset rollout -> GAE -> PPO epochs.
+        Mirrors Learner.train's per-iter body (learner.py:135-141)."""
+        k_roll, k_upd = jax.random.split(key)
+        traj = self.rollout(ts, k_roll, self.cfg.n_rollout_threads)
+        adv, returns = self.compute_returns(ts, traj)
+        ts, m = self.update(ts, k_upd, traj, adv, returns)
+        # rollout metrics as the reference logs them (learner.py:191-193,211-214):
+        # reward: sum over steps of mean step reward; coverage: mean over envs
+        # of max over steps
+        reward = traj.rewards.mean(axis=(1, 2)).sum()
+        coverage = traj.coverage.max(axis=0).mean()
+        metrics = Metrics(
+            reward=reward,
+            coverage_rate=coverage,
+            value_loss=m[0],
+            policy_loss=m[1],
+            dist_entropy=m[2],
+            actor_grad_norm=m[3],
+            critic_grad_norm=m[4],
+            ratio=m[5],
+        )
+        return ts, metrics
+
+    def train_many(self, ts: TrainState, base_key: jax.Array, n_iters: int):
+        """Scan ``n_iters`` train iterations inside one jitted program —
+        a single device dispatch for a whole training run (per-iteration
+        metrics are returned stacked). Per-iteration keys are derived on
+        device from ``ts.iteration`` so the host loop stays cold."""
+
+        def body(ts, _):
+            key = jax.random.fold_in(base_key, ts.iteration)
+            return self.train_iteration(ts, key)
+
+        return jax.lax.scan(body, ts, None, length=n_iters)
+
+    def eval_iteration(self, ts: TrainState, key: jax.Array, n_envs: int):
+        """Eval rollout: same sampling path as training (the reference's eval
+        farm also samples, learner.py:143-146,227-252)."""
+        traj = self.rollout(ts, key, n_envs)
+        return {
+            "reward": traj.rewards.mean(axis=(1, 2)).sum(),
+            "coverage_rate": traj.coverage.max(axis=0).mean(),
+        }
