@@ -38,6 +38,7 @@ from flax import struct
 
 from ..envs import EnvConfig, reset_batch, step_batch
 from ..envs.coverage import observation
+from ..parallel import mesh as _mesh
 from ..models import Actor, Critic
 from ..models import distributions as D
 from ..models import popart as PA
@@ -148,11 +149,12 @@ class MAPPO:
     pjit-sharded over an env-axis mesh) as a whole.
     """
 
-    def __init__(self, cfg: MAPPOConfig, env_cfg: EnvConfig):
+    def __init__(self, cfg: MAPPOConfig, env_cfg: EnvConfig, mesh=None):
         if cfg.use_popart and cfg.use_valuenorm:
             raise ValueError("use_popart and use_valuenorm are mutually exclusive")
         self.cfg = cfg
         self.env_cfg = env_cfg
+        self.mesh = mesh  # optional jax.sharding.Mesh with a data (env) axis
         net_kwargs = dict(
             hidden_size=cfg.hidden_size,
             layer_n=cfg.layer_n,
@@ -266,6 +268,7 @@ class MAPPO:
         T = cfg.episode_length
         key, k_reset = jax.random.split(key)
         states = reset_batch(env_cfg, k_reset, n_envs)
+        states = _mesh.constrain(states, self.mesh, 0)  # shard envs over 'data'
         obs0 = jax.vmap(lambda s: observation(env_cfg, s))(states)
 
         def body(carry, _):
@@ -341,18 +344,34 @@ class MAPPO:
         adv_std = adv.std()
         adv_n = (adv - adv_mean) / (adv_std + 1e-5)
 
-        # flatten: policy rows (T*E*A), value rows (T*E)
-        obs_rows = traj.obs[:-1].reshape(T * E * A, -1)
-        act_rows = traj.actions.reshape(T * E * A, -1)
-        logp_rows = traj.log_probs.reshape(T * E * A, 1)
-        adv_rows = jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)).reshape(
-            T * E * A, 1
-        )
-        cent_rows = traj.obs[:-1].reshape(T * E, A * self.obs_dim)
-        vpred_rows = traj.values[:-1].reshape(T * E, 1)
-        ret_rows = returns.reshape(T * E, 1)
-
-        batch = (obs_rows, act_rows, logp_rows, adv_rows, cent_rows, vpred_rows, ret_rows)
+        if cfg.num_mini_batch == 1:
+            # Keep the (T, E, A, .) layout: with a single minibatch every
+            # reduction is a full mean, so flattening is unnecessary and the
+            # env axis (1) stays shardable over the mesh's data axis.
+            batch = (
+                traj.obs[:-1],
+                traj.actions,
+                traj.log_probs,
+                jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)),
+                traj.obs[:-1].reshape(T, E, A * self.obs_dim),
+                traj.values[:-1],
+                returns,
+            )
+            batch = _mesh.constrain(batch, self.mesh, 1)
+            obs_rows = act_rows = logp_rows = adv_rows = None
+            cent_rows = vpred_rows = ret_rows = None
+        else:
+            # flatten: policy rows (T*E*A), value rows (T*E)
+            obs_rows = traj.obs[:-1].reshape(T * E * A, -1)
+            act_rows = traj.actions.reshape(T * E * A, -1)
+            logp_rows = traj.log_probs.reshape(T * E * A, 1)
+            adv_rows = jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)).reshape(
+                T * E * A, 1
+            )
+            cent_rows = traj.obs[:-1].reshape(T * E, A * self.obs_dim)
+            vpred_rows = traj.values[:-1].reshape(T * E, 1)
+            ret_rows = returns.reshape(T * E, 1)
+            batch = None
 
         def minibatch_update(carry, mb):
             actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
@@ -378,8 +397,10 @@ class MAPPO:
             def loss_fn(a_params, c_params):
                 (mean, log_std), _ = self.actor.apply(a_params, obs_b)
                 new_logp = D.normal_log_prob(mean, log_std, act_b)
-                ent = D.normal_entropy(log_std, mean)  # (B, act)
-                dist_entropy = ent.mean(axis=0).sum()  # all-ones active masks
+                ent = D.normal_entropy(log_std, mean)  # (..., act)
+                # all-ones active masks: mean over rows of per-dim sums
+                # (act.py:174-181)
+                dist_entropy = ent.sum(-1).mean()
 
                 ratio = jnp.exp(new_logp - logp_b)
                 surr1 = ratio * adv_b

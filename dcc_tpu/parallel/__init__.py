@@ -1,0 +1,3 @@
+from .mesh import constrain, data_sharding, make_mesh, replicated
+
+__all__ = ["constrain", "data_sharding", "make_mesh", "replicated"]

@@ -67,8 +67,11 @@ def _install_shims():
 
         spaces = types.ModuleType("gym.spaces")
         spaces.Box, spaces.Discrete, spaces.Tuple, spaces.Space = Box, Discrete, Tuple, Space
+        spaces_box = types.ModuleType("gym.spaces.box")
+        spaces_box.Box = Box
         registration = types.ModuleType("gym.envs.registration")
         registration.register = lambda *a, **k: None
+        registration.load = lambda name: None
 
         class EnvSpec:
             def __init__(self, *a, **k):
@@ -80,6 +83,7 @@ def _install_shims():
         gym.Env, gym.spaces, gym.envs, gym.Space = Env, spaces, envs, Space
         sys.modules["gym"] = gym
         sys.modules["gym.spaces"] = spaces
+        sys.modules["gym.spaces.box"] = spaces_box
         sys.modules["gym.envs"] = envs
         sys.modules["gym.envs.registration"] = registration
 

@@ -9,12 +9,13 @@ framework code is dtype-explicit (float32 by default) and unaffected.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# NB: the JAX_PLATFORMS env var is ignored by this machine's TPU plugin
+# build; the config update is the override that actually works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
