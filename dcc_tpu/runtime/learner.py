@@ -1,0 +1,174 @@
+"""Learner: host-side orchestration of the on-device training program.
+
+The analog of the reference's ``Learner`` (``learner.py:21-322``) with the
+same cadence — train / eval every ``eval_interval`` / render every
+``render_interval`` / checkpoint every ``save_interval`` / log every
+``log_interval`` — but all compute lives in jitted device programs; the host
+loop only dispatches and logs. Run artifacts go to
+``<main_save_path>/<save_name>/<MMDD_HHMM_sd{seed}>/`` with a ``config.json``
+snapshot (``learner.py:111-120``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..algos import MAPPO
+from ..configs.loader import load as load_config
+from ..parallel import make_mesh, replicated
+from ..render.gif import render_gif, rollout_states
+from . import checkpoint as ckpt
+
+
+class Learner:
+    def __init__(self, overrides: Optional[Dict[str, Any]] = None, use_mesh: bool = False):
+        self.cfg, self.env_cfg, self.algo_cfg = load_config(overrides)
+        self.seed = int(self.cfg.get("seed", 0))
+
+        mesh = None
+        if use_mesh and jax.device_count() > 1:
+            mesh = make_mesh()
+        self.mesh = mesh
+        self.algo = MAPPO(self.algo_cfg, self.env_cfg, mesh=mesh)
+
+        key = jax.random.PRNGKey(self.seed)
+        self.ts = self.algo.init_state(key)
+        self.base_key = jax.random.fold_in(key, 7)
+        if mesh is not None:
+            rep = replicated(mesh)
+            self.ts = jax.device_put(self.ts, rep)
+            self.base_key = jax.device_put(self.base_key, rep)
+
+        # jitted programs; per-iteration keys derive on device from
+        # ts.iteration so the host loop dispatches exactly one call per iter
+        def _train(ts, base_key):
+            k = jax.random.fold_in(base_key, ts.iteration)
+            return self.algo.train_iteration(ts, k)
+
+        self._train = jax.jit(_train)
+        n_eval = int(self.cfg.get("n_eval_rollout_threads", 16))
+        self._eval = (
+            jax.jit(lambda ts, k: self.algo.eval_iteration(ts, k, n_eval))
+            if n_eval > 0
+            else None
+        )
+
+        # run dir + config snapshot (learner.py:111-120)
+        self.is_save_model = bool(self.cfg.get("save_model", True))
+        self.output_path = None
+        if self.is_save_model:
+            expt_name = datetime.datetime.now().strftime("%m%d_%H%M_") + f"sd{self.seed}"
+            self.output_path = os.path.join(
+                str(self.cfg.get("main_save_path", "results/")),
+                str(self.cfg.get("save_name", "uav_dcc")),
+                expt_name,
+            )
+            os.makedirs(self.output_path, exist_ok=True)
+            with open(os.path.join(self.output_path, "config.json"), "w") as f:
+                json.dump(self.cfg, f, indent=4, default=str)
+
+        if self.cfg.get("load_model") and self.cfg.get("load_model_path"):
+            self.load_model(str(self.cfg["load_model_path"]))
+            print("!!!!!Note: Load model, done!!!!!")
+
+        # wandb (gated, learner.py:125-127)
+        self.is_log_wandb = bool(self.cfg.get("log_wandb", False))
+        self._wandb = None
+        if self.is_log_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(
+                    project=str(self.cfg.get("save_name", "uav_dcc")),
+                    group="mappo",
+                    name=os.path.basename(self.output_path or "run"),
+                    config=self.cfg,
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"wandb unavailable ({e}); console logging only")
+                self.is_log_wandb = False
+
+        self._start = time.time()
+        self._check = time.time()
+
+    # ------------------------------------------------------------------
+    def train(self):
+        n_iters = int(self.cfg.get("n_iters", 200))
+        eval_interval = int(self.cfg.get("eval_interval", 10))
+        render_interval = int(self.cfg.get("render_interval", 200))
+        save_interval = int(self.cfg.get("save_interval", 50))
+        log_interval = int(self.cfg.get("log_interval", 1))
+
+        for it in range(1, n_iters + 1):
+            self.ts, m = self._train(self.ts, self.base_key)
+
+            logs: Dict[str, Dict[str, float]] = {}
+            if it % log_interval == 0:
+                logs["rollout_info"] = {
+                    "reward": float(m.reward),
+                    "coverage_rate": float(m.coverage_rate),
+                }
+                logs["rl_train_info"] = {
+                    "value_loss": float(m.value_loss),
+                    "policy_loss": float(m.policy_loss),
+                    "dist_entropy": float(m.dist_entropy),
+                    "actor_grad_norm": float(m.actor_grad_norm),
+                    "critic_grad_norm": float(m.critic_grad_norm),
+                    "ratio": float(m.ratio),
+                }
+
+            if self._eval is not None and it % eval_interval == 0:
+                ev = self._eval(self.ts, jax.random.fold_in(self.base_key, 10_000 + it))
+                logs["test_rollout_info"] = {
+                    "reward": float(ev["reward"]),
+                    "coverage_rate": float(ev["coverage_rate"]),
+                }
+
+            if it % render_interval == 0 and self.output_path and self.cfg.get("save_gifs", True):
+                self.render(os.path.join(self.output_path, f"models_{it}.gif"))
+
+            if logs:
+                self.log(it, logs)
+
+            if self.is_save_model and it % save_interval == 0:
+                path = os.path.join(self.output_path, f"models_{it}")
+                self.save_model(path)
+                print(f"model saved in {path}")
+
+        if self._wandb is not None:
+            self._wandb.finish()
+
+    # ------------------------------------------------------------------
+    def render(self, path: str):
+        states = rollout_states(
+            self.algo, self.ts, jax.random.fold_in(self.base_key, 99)
+        )
+        render_gif(self.env_cfg, states, path)
+        return states
+
+    def log(self, it: int, logs: Dict[str, Dict[str, float]]):
+        if self._wandb is not None:
+            for _, d in logs.items():
+                self._wandb.log(d, step=it)
+        now = time.time()
+        print(
+            f"******** iter: {it}, iter_time: {now - self._check:.2f}s, "
+            f"total_time: {now - self._start:.2f}s"
+        )
+        for key, d in logs.items():
+            print(key + "".join(f", {k}: {v:.4f}" for k, v in d.items()))
+        self._check = now
+
+    def save_model(self, path: str):
+        ckpt.save(path, self.ts)
+
+    def load_model(self, path: str):
+        self.ts = ckpt.load(path, self.ts)

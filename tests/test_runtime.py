@@ -1,0 +1,115 @@
+"""Config loader, Learner orchestration, checkpoint round-trip, renderer."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dcc_tpu.algos import MAPPO, MAPPOConfig
+from dcc_tpu.configs import load, load_yaml_merged, to_algo_config, to_env_config
+from dcc_tpu.envs import EnvConfig
+from dcc_tpu.render import draw_frame, render_gif, rollout_states
+from dcc_tpu.runtime import Learner, checkpoint
+
+
+def test_yaml_merge_defaults_match_reference():
+    cfg = load_yaml_merged()
+    # env<-algo<-expt merge, reference defaults (SURVEY.md 2.3)
+    assert cfg["num_agents"] == 4 and cfg["num_pois"] == 20
+    assert cfg["max_ep_len"] == 150 and cfg["ppo_epoch"] == 15
+    assert cfg["algo_hidden_size"] == 256 and cfg["layer_N"] == 1
+    assert cfg["actor_lr"] == 5e-4 and isinstance(cfg["actor_lr"], float)
+    assert cfg["n_iters"] == 200 and cfg["seed"] == 0
+    assert cfg["use_valuenorm"] is True and cfg["use_popart"] is False
+
+
+def test_override_wins():
+    cfg = load_yaml_merged(overrides={"num_agents": 7, "actor_lr": "1e-3"})
+    assert cfg["num_agents"] == 7
+    assert cfg["actor_lr"] == 1e-3
+
+
+def test_typed_config_mapping():
+    cfg, env_cfg, algo_cfg = load({"num_agents": 5, "algo_hidden_size": 64})
+    assert env_cfg.n_agents == 5
+    assert algo_cfg.hidden_size == 64
+    assert algo_cfg.episode_length == env_cfg.max_ep_len == 150
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    algo = MAPPO(
+        MAPPOConfig(n_rollout_threads=2, episode_length=5, ppo_epoch=1, n_iters=2),
+        EnvConfig(),
+    )
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    ts, _ = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, ts)
+    ts2 = checkpoint.load(path, algo.init_state(jax.random.PRNGKey(3)))
+    # exact round-trip of every leaf: params, BOTH optimizer states,
+    # valuenorm stats, counters (a superset of the reference's pickle
+    # which drops optimizer/valuenorm state, mappo.py:237-247)
+    for a, b in zip(jax.tree_util.tree_leaves(ts), jax.tree_util.tree_leaves(ts2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_learner_end_to_end(tmp_path):
+    overrides = dict(
+        n_iters=2,
+        n_rollout_threads=2,
+        n_eval_rollout_threads=2,
+        max_ep_len=5,
+        ppo_epoch=1,
+        eval_interval=1,
+        render_interval=2,
+        save_interval=1,
+        main_save_path=str(tmp_path),
+        save_gifs=True,
+    )
+    learner = Learner(overrides)
+    learner.train()
+    run_dir = learner.output_path
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    cfg = json.load(open(os.path.join(run_dir, "config.json")))
+    assert cfg["n_iters"] == 2
+    assert os.path.exists(os.path.join(run_dir, "models_2"))  # checkpoint
+    assert os.path.exists(os.path.join(run_dir, "models_2.gif"))  # render
+    assert int(learner.ts.iteration) == 2
+
+
+def test_learner_resume(tmp_path):
+    overrides = dict(
+        n_iters=1, n_rollout_threads=2, n_eval_rollout_threads=0, max_ep_len=5,
+        ppo_epoch=1, save_interval=1, render_interval=100,
+        main_save_path=str(tmp_path),
+    )
+    l1 = Learner(overrides)
+    l1.train()
+    path = os.path.join(l1.output_path, "models_1")
+    l2 = Learner({**overrides, "load_model": True, "load_model_path": path})
+    assert int(l2.ts.iteration) == 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(l1.ts.actor_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(l2.ts.actor_params)[0]),
+    )
+
+
+def test_render_frame_and_gif(tmp_path):
+    algo = MAPPO(
+        MAPPOConfig(n_rollout_threads=2, episode_length=6, ppo_epoch=1, n_iters=2),
+        EnvConfig(),
+    )
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    states = rollout_states(algo, ts, jax.random.PRNGKey(1))
+    assert states["pos"].shape == (7, 4, 2)
+    frame = draw_frame(
+        algo.env_cfg, states["pos"][0], states["poi_pos"][0],
+        states["energy"][0], states["poi_done"][0], size=128,
+    )
+    assert frame.shape == (128, 128, 3) and frame.dtype == np.uint8
+    assert (frame != 255).any()  # something was drawn
+    gif = str(tmp_path / "ep.gif")
+    frames = render_gif(algo.env_cfg, states, gif, size=96)
+    assert os.path.exists(gif) and len(frames) == 7
