@@ -1,0 +1,323 @@
+"""MADDPG: per-agent DDPG with centralized critics, TPU-native.
+
+The reference ships a MADDPG implementation (``algos/maddpg.py``) that is
+present but **unwired** — ``learner.py:48`` hardcodes shared MAPPO and no
+training loop ever constructs it (SURVEY.md component #15). Here it is both
+re-designed for TPU and actually runnable via the algo factory
+(:mod:`dcc_tpu.algos.factory`).
+
+Parity targets (against ``algos/maddpg.py`` / ``torchkit/networks.py``):
+
+* per-agent tanh MLP actor over own obs (``maddpg.py:13-17,43-45``), rlkit
+  Mlp family (GELU hidden, fan-in init — ``torchkit/networks.py:18-78``)
+* per-agent centralized Q over concat(all obs, all actions)
+  (``maddpg.py:47-49``)
+* target networks with soft updates tau=0.01 (``maddpg.py:52-53,127-129``;
+  ``utils/pytorch_utils.py:51-57``)
+* TD target r_i + (1-done_i)*gamma*Q_target(next_obs_all, target_acts_all)
+  (``maddpg.py:72-86``)
+* policy loss -Q_i(obs_all, actions with own column replaced)
+  (``maddpg.py:94-103``)
+* OU exploration noise (``maddpg.py:163-179``), vectorized per env x agent
+
+TPU-first re-design: all N agents' parameters are stacked on a leading agent
+axis and every per-agent update is a ``vmap`` over that axis; the replay
+buffer is a device-resident circular pytree; collection and updates run in
+one jitted iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..envs import EnvConfig, reset_batch, step_batch
+from ..envs.coverage import observation
+from ..models.rlkit_mlp import RlkitMlp
+
+
+class MADDPGConfig(NamedTuple):
+    """Defaults per ``algos/maddpg.py:20-27`` and ``config/expt.yaml:14``."""
+
+    actor_lr: float = 5e-4
+    critic_lr: float = 1e-3
+    gamma: float = 0.99
+    tau: float = 0.01
+    hidden_sizes: Tuple[int, ...] = (64,)
+    buffer_capacity: int = 100_000
+    batch_size: int = 256
+    ou_mu: float = 0.0
+    ou_theta: float = 0.15
+    ou_sigma: float = 0.2
+    n_envs: int = 16
+    steps_per_iter: int = 150
+    updates_per_iter: int = 50
+    warmup_steps: int = 1000  # env-steps of random actions before updates
+
+
+class ReplayBuffer(NamedTuple):
+    """Device-resident circular transition store (capacity rows of joint
+    transitions)."""
+
+    obs: jax.Array  # (cap, N, D)
+    actions: jax.Array  # (cap, N, act)
+    rewards: jax.Array  # (cap, 1)  shared team reward
+    next_obs: jax.Array  # (cap, N, D)
+    dones: jax.Array  # (cap, 1)
+    ptr: jax.Array  # () int32
+    size: jax.Array  # () int32
+
+
+@struct.dataclass
+class MADDPGState:
+    actor_params: Any  # stacked (N, ...) pytree
+    critic_params: Any
+    target_actor_params: Any
+    target_critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    buffer: ReplayBuffer
+    env_states: Any
+    obs: jax.Array  # (E, N, D) current observations
+    ou_state: jax.Array  # (E, N, act)
+    total_steps: jax.Array  # () int32
+
+
+class MADDPG:
+    def __init__(self, cfg: MADDPGConfig, env_cfg: EnvConfig):
+        self.cfg = cfg
+        self.env_cfg = env_cfg
+        n, d, a = env_cfg.n_agents, env_cfg.obs_dim, env_cfg.action_dim
+        self.actor = RlkitMlp(
+            output_size=a, hidden_sizes=cfg.hidden_sizes, tanh_output=True
+        )
+        self.critic = RlkitMlp(output_size=1, hidden_sizes=cfg.hidden_sizes)
+        self.actor_tx = optax.adam(cfg.actor_lr)
+        self.critic_tx = optax.adam(cfg.critic_lr)
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> MADDPGState:
+        cfg, env_cfg = self.cfg, self.env_cfg
+        n, d, a = env_cfg.n_agents, env_cfg.obs_dim, env_cfg.action_dim
+        k_a, k_c, k_env = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((1, d), jnp.float32)
+        dummy_q_in = jnp.zeros((1, n * d + n * a), jnp.float32)
+        actor_params = jax.vmap(lambda k: self.actor.init(k, dummy_obs))(
+            jax.random.split(k_a, n)
+        )
+        critic_params = jax.vmap(lambda k: self.critic.init(k, dummy_q_in))(
+            jax.random.split(k_c, n)
+        )
+        env_states = reset_batch(env_cfg, k_env, cfg.n_envs)
+        obs = jax.vmap(lambda s: observation(env_cfg, s))(env_states)
+        cap = cfg.buffer_capacity
+        buffer = ReplayBuffer(
+            obs=jnp.zeros((cap, n, d), jnp.float32),
+            actions=jnp.zeros((cap, n, a), jnp.float32),
+            rewards=jnp.zeros((cap, 1), jnp.float32),
+            next_obs=jnp.zeros((cap, n, d), jnp.float32),
+            dones=jnp.zeros((cap, 1), jnp.float32),
+            ptr=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+        )
+        return MADDPGState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor_params=actor_params,
+            target_critic_params=critic_params,
+            actor_opt=jax.vmap(self.actor_tx.init)(actor_params),
+            critic_opt=jax.vmap(self.critic_tx.init)(critic_params),
+            buffer=buffer,
+            env_states=env_states,
+            obs=obs,
+            ou_state=jnp.full((cfg.n_envs, n, a), cfg.ou_mu, jnp.float32),
+            total_steps=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _actors(self, stacked_params, obs_na: jax.Array) -> jax.Array:
+        """Apply each agent's actor to its own obs.
+        obs_na: (..., N, D) -> (..., N, act)."""
+        return jax.vmap(
+            lambda p, o: self.actor.apply(p, o), in_axes=(0, -2), out_axes=-2
+        )(stacked_params, obs_na)
+
+    def _ou_step(self, key, ou):
+        """Vectorized Ornstein-Uhlenbeck noise (maddpg.py:170-179)."""
+        cfg = self.cfg
+        dx = cfg.ou_theta * (cfg.ou_mu - ou) + cfg.ou_sigma * jax.random.normal(
+            key, ou.shape, ou.dtype
+        )
+        return ou + dx
+
+    # ------------------------------------------------------------------
+    def collect(self, st: MADDPGState, key: jax.Array, n_steps: int) -> MADDPGState:
+        """Scan n_steps of env interaction with OU exploration into the
+        replay buffer."""
+        cfg, env_cfg = self.cfg, self.env_cfg
+        E = cfg.n_envs
+
+        def body(st: MADDPGState, k):
+            k_ou, k_rand = jax.random.split(k)
+            det_act = self._actors(st.actor_params, st.obs)  # (E, N, a)
+            ou = self._ou_step(k_ou, st.ou_state)
+            rand_act = jax.random.uniform(
+                k_rand, det_act.shape, jnp.float32, -1.0, 1.0
+            )
+            warm = st.total_steps < cfg.warmup_steps
+            action = jnp.where(warm, rand_act, jnp.clip(det_act + ou, -1.0, 1.0))
+            env_states, out = step_batch(env_cfg, st.env_states, action)
+            done = out.done.astype(jnp.float32)[:, None]
+            # reset OU state where the episode ended (maddpg.py:168-169)
+            ou = jnp.where(out.done[:, None, None], cfg.ou_mu, ou)
+
+            buf = st.buffer
+            idx = (buf.ptr + jnp.arange(E)) % cfg.buffer_capacity
+            buf = buf._replace(
+                obs=buf.obs.at[idx].set(st.obs),
+                actions=buf.actions.at[idx].set(action),
+                rewards=buf.rewards.at[idx].set(out.reward[:, None]),
+                next_obs=buf.next_obs.at[idx].set(out.obs),
+                dones=buf.dones.at[idx].set(done),
+                ptr=(buf.ptr + E) % cfg.buffer_capacity,
+                size=jnp.minimum(buf.size + E, cfg.buffer_capacity),
+            )
+            st = st.replace(
+                buffer=buf,
+                env_states=env_states,
+                obs=out.obs,
+                ou_state=ou,
+                total_steps=st.total_steps + E,
+            )
+            return st, out.reward.mean()
+
+        keys = jax.random.split(key, n_steps)
+        st, mean_rew = jax.lax.scan(body, st, keys)
+        return st, mean_rew.mean()
+
+    # ------------------------------------------------------------------
+    def update_once(self, st: MADDPGState, key: jax.Array):
+        """One gradient step for every agent (vmapped over the agent axis)."""
+        cfg, env_cfg = self.cfg, self.env_cfg
+        n, d, a = env_cfg.n_agents, env_cfg.obs_dim, env_cfg.action_dim
+        B = cfg.batch_size
+
+        idx = jax.random.randint(key, (B,), 0, jnp.maximum(st.buffer.size, 1))
+        obs_b = st.buffer.obs[idx]  # (B, N, D)
+        act_b = st.buffer.actions[idx]  # (B, N, a)
+        rew_b = st.buffer.rewards[idx]  # (B, 1) shared
+        nobs_b = st.buffer.next_obs[idx]
+        done_b = st.buffer.dones[idx]
+
+        # target joint action from all target actors (maddpg.py:74-78)
+        next_acts = self._actors(st.target_actor_params, nobs_b)  # (B, N, a)
+        q_in_next = jnp.concatenate(
+            [nobs_b.reshape(B, n * d), next_acts.reshape(B, n * a)], axis=-1
+        )
+        q_in = jnp.concatenate(
+            [obs_b.reshape(B, n * d), act_b.reshape(B, n * a)], axis=-1
+        )
+
+        agent_eye = jnp.eye(n, dtype=obs_b.dtype)[:, :, None]  # (N, N, 1) one-hot per agent
+
+        def critic_loss_fn(cp_i, tcp_i):
+            # shared team reward/done: every agent sees the same scalar
+            # (environment.py:105-108 broadcast)
+            q_next = self.critic.apply(tcp_i, q_in_next)
+            target = rew_b + (1.0 - done_b) * cfg.gamma * q_next
+            target = jax.lax.stop_gradient(target)
+            q = self.critic.apply(cp_i, q_in)
+            return jnp.mean((q - target) ** 2)
+
+        # critic update (vmap over agents)
+        c_loss, c_grads = jax.vmap(jax.value_and_grad(critic_loss_fn))(
+            st.critic_params, st.target_critic_params
+        )
+        c_updates, c_opt = jax.vmap(self.critic_tx.update)(
+            c_grads, st.critic_opt, st.critic_params
+        )
+        critic_params = jax.vmap(optax.apply_updates)(st.critic_params, c_updates)
+
+        # actor update: replace own column of the joint action
+        def a_loss_fn(ap_i, cp_i, e_i):
+            obs_i = jnp.sum(obs_b * e_i, axis=1)  # (B, d) = obs of agent i
+            own_i = self.actor.apply(ap_i, obs_i)[:, None, :]  # (B, 1, a)
+            acts = act_b * (1.0 - e_i) + own_i * e_i
+            q_in_pi = jnp.concatenate(
+                [obs_b.reshape(B, n * d), acts.reshape(B, n * a)], axis=-1
+            )
+            return -jnp.mean(self.critic.apply(cp_i, q_in_pi))
+
+        a_loss, a_grads = jax.vmap(jax.value_and_grad(a_loss_fn))(
+            st.actor_params, critic_params, agent_eye
+        )
+        a_updates, a_opt = jax.vmap(self.actor_tx.update)(
+            a_grads, st.actor_opt, st.actor_params
+        )
+        actor_params = jax.vmap(optax.apply_updates)(st.actor_params, a_updates)
+
+        # soft target updates (pytorch_utils.py:51-57)
+        soft = lambda t, s: jax.tree_util.tree_map(
+            lambda tp, sp: tp * (1.0 - cfg.tau) + sp * cfg.tau, t, s
+        )
+        st = st.replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor_params=soft(st.target_actor_params, actor_params),
+            target_critic_params=soft(st.target_critic_params, critic_params),
+            actor_opt=a_opt,
+            critic_opt=c_opt,
+        )
+        return st, (c_loss.mean(), a_loss.mean())
+
+    # ------------------------------------------------------------------
+    def eval_iteration(self, st: MADDPGState, key: jax.Array, n_envs: int):
+        """Deterministic-policy eval rollout (no OU noise)."""
+        env_cfg = self.env_cfg
+        k_reset, _ = jax.random.split(key)
+        states = reset_batch(env_cfg, k_reset, n_envs)
+        obs = jax.vmap(lambda s: observation(env_cfg, s))(states)
+
+        def body(carry, _):
+            states, obs = carry
+            action = self._actors(st.actor_params, obs)
+            states, out = step_batch(env_cfg, states, action)
+            return (states, out.obs), (out.reward, out.coverage_rate)
+
+        (_, _), (rew, cover) = jax.lax.scan(
+            body, (states, obs), None, length=self.cfg.steps_per_iter
+        )
+        return {"reward": rew.mean(axis=1).sum(), "coverage_rate": cover.max(axis=0).mean()}
+
+    # ------------------------------------------------------------------
+    def train_iteration(self, st: MADDPGState, key: jax.Array):
+        cfg = self.cfg
+        k_collect, k_update = jax.random.split(key)
+        st, mean_rew = self.collect(st, k_collect, cfg.steps_per_iter)
+
+        def upd(st, k):
+            st, losses = self.update_once(st, k)
+            return st, losses
+
+        do_updates = st.buffer.size >= cfg.batch_size
+
+        def run_updates(st):
+            return jax.lax.scan(
+                upd, st, jax.random.split(k_update, cfg.updates_per_iter)
+            )
+
+        def skip(st):
+            z = jnp.zeros((cfg.updates_per_iter,), jnp.float32)
+            return st, (z, z)
+
+        st, (c_losses, a_losses) = jax.lax.cond(do_updates, run_updates, skip, st)
+        return st, {
+            "reward": mean_rew,
+            "qf_loss": c_losses.mean(),
+            "policy_loss": a_losses.mean(),
+        }
