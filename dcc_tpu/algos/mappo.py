@@ -173,6 +173,11 @@ class MAPPO:
             env_cfg.share_obs_dim if cfg.use_centralized_v else env_cfg.obs_dim
         )
         self._recurrent = cfg.use_recurrent_policy or cfg.use_naive_recurrent
+        if self._recurrent and cfg.num_mini_batch != 1:
+            raise NotImplementedError(
+                "recurrent policies currently support num_mini_batch=1 "
+                "(full-sequence naive-recurrent evaluation)"
+            )
 
         updates_per_iter = cfg.ppo_epoch * cfg.num_mini_batch
 
@@ -234,18 +239,31 @@ class MAPPO:
     # ------------------------------------------------------------------
     # acting
     # ------------------------------------------------------------------
-    def act(self, actor_params, key, obs, deterministic: bool = False):
-        """obs: (..., D) -> (action (..., act), log_prob (..., 1))."""
-        (mean, log_std), _ = self.actor.apply(actor_params, obs)
+    def act(
+        self,
+        actor_params,
+        key,
+        obs,
+        deterministic: bool = False,
+        rnn_state=None,
+        masks=None,
+    ):
+        """obs: (..., D) -> (action (..., act), log_prob (..., 1)[, h'])."""
+        (mean, log_std), h = self.actor.apply(actor_params, obs, rnn_state, masks)
         if deterministic:
             action = D.normal_mode(mean)
         else:
             action = D.normal_sample(key, mean, log_std)
-        return action, D.normal_log_prob(mean, log_std, action)
+        logp = D.normal_log_prob(mean, log_std, action)
+        if rnn_state is None:
+            return action, logp
+        return action, logp, h
 
-    def value(self, critic_params, cent_obs):
-        v, _ = self.critic.apply(critic_params, cent_obs)
-        return v
+    def value(self, critic_params, cent_obs, rnn_state=None, masks=None):
+        v, h = self.critic.apply(critic_params, cent_obs, rnn_state, masks)
+        if rnn_state is None:
+            return v
+        return v, h
 
     def _denorm(self, ts: TrainState, v: jax.Array) -> jax.Array:
         if self.cfg.use_valuenorm:
@@ -270,18 +288,33 @@ class MAPPO:
         states = reset_batch(env_cfg, k_reset, n_envs)
         states = _mesh.constrain(states, self.mesh, 0)  # shard envs over 'data'
         obs0 = jax.vmap(lambda s: observation(env_cfg, s))(states)
+        L, H = self.cfg.recurrent_n, self.cfg.hidden_size
+        if self._recurrent:
+            h_actor0 = jnp.zeros((n_envs * n_agents, L, H), jnp.float32)
+            h_critic0 = jnp.zeros((n_envs, L, H), jnp.float32)
+        else:
+            h_actor0 = h_critic0 = jnp.zeros((0,), jnp.float32)
+        mask0 = jnp.ones((n_envs, 1), jnp.float32)
 
         def body(carry, _):
-            states, obs, key = carry
+            states, obs, key, h_a, h_c, mask = carry
             key, k_act = jax.random.split(key)
             # decentralized actors on (E*A, D)
             flat_obs = obs.reshape(n_envs * n_agents, -1)
-            action, logp = self.act(ts.actor_params, k_act, flat_obs, deterministic)
+            cent = obs.reshape(n_envs, -1)
+            if self._recurrent:
+                agent_mask = jnp.broadcast_to(
+                    mask[:, None, :], (n_envs, n_agents, 1)
+                ).reshape(n_envs * n_agents, 1)
+                action, logp, h_a = self.act(
+                    ts.actor_params, k_act, flat_obs, deterministic, h_a, agent_mask
+                )
+                v, h_c = self.value(ts.critic_params, cent, h_c, mask)
+            else:
+                action, logp = self.act(ts.actor_params, k_act, flat_obs, deterministic)
+                v = self.value(ts.critic_params, cent)  # (E, 1)
             action = action.reshape(n_envs, n_agents, -1)
             logp = logp.reshape(n_envs, n_agents, 1)
-            # centralized critic once per env (see module docstring)
-            cent = obs.reshape(n_envs, -1)
-            v = self.value(ts.critic_params, cent)  # (E, 1)
             new_states, out = step_batch(env_cfg, states, action)
             mask_next = 1.0 - out.done.astype(jnp.float32)[:, None]
             ys = (
@@ -293,20 +326,27 @@ class MAPPO:
                 mask_next,
                 out.coverage_rate,
             )
-            return (new_states, out.obs, key), ys
+            return (new_states, out.obs, key, h_a, h_c, mask_next), ys
 
-        (states, obs_T, _), (obs, actions, logps, values, rewards, masks, cover) = (
-            jax.lax.scan(body, (states, obs0, key), None, length=T)
+        (
+            (states, obs_T, _, h_aT, h_cT, mask_T),
+            (obs, actions, logps, values, rewards, masks, cover),
+        ) = jax.lax.scan(
+            body, (states, obs0, key, h_actor0, h_critic0, mask0), None, length=T
         )
-        v_T = self.value(ts.critic_params, obs_T.reshape(n_envs, -1))
-        mask0 = jnp.ones((1, n_envs, 1), jnp.float32)
+        if self._recurrent:
+            v_T, _ = self.value(
+                ts.critic_params, obs_T.reshape(n_envs, -1), h_cT, mask_T
+            )
+        else:
+            v_T = self.value(ts.critic_params, obs_T.reshape(n_envs, -1))
         return Trajectory(
             obs=jnp.concatenate([obs, obs_T[None]], axis=0),
             actions=actions,
             log_probs=logps,
             values=jnp.concatenate([values, v_T[None]], axis=0),
             rewards=rewards,
-            masks=jnp.concatenate([mask0, masks], axis=0),
+            masks=jnp.concatenate([mask0[None], masks], axis=0),
             coverage=cover,
         )
 
@@ -356,6 +396,7 @@ class MAPPO:
                 traj.obs[:-1].reshape(T, E, A * self.obs_dim),
                 traj.values[:-1],
                 returns,
+                traj.masks[:-1],
             )
             batch = _mesh.constrain(batch, self.mesh, 1)
             obs_rows = act_rows = logp_rows = adv_rows = None
@@ -371,11 +412,14 @@ class MAPPO:
             cent_rows = traj.obs[:-1].reshape(T * E, A * self.obs_dim)
             vpred_rows = traj.values[:-1].reshape(T * E, 1)
             ret_rows = returns.reshape(T * E, 1)
+            mask_rows = jnp.broadcast_to(
+                traj.masks[:-1][:, :, None, :], (T, E, A, 1)
+            ).reshape(T * E * A, 1)
             batch = None
 
         def minibatch_update(carry, mb):
             actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
-            obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b = mb
+            obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b = mb
 
             # ValueNorm/PopArt update BEFORE normalize (mappo.py:106-107).
             if cfg.use_valuenorm:
@@ -395,7 +439,25 @@ class MAPPO:
                 ret_target = ret_b
 
             def loss_fn(a_params, c_params):
-                (mean, log_std), _ = self.actor.apply(a_params, obs_b)
+                if self._recurrent:
+                    # naive-recurrent evaluation: replay the full sequence
+                    # with mask resets from h0=0 (the rollout starts from a
+                    # fresh reset, learner.py:216-224); equivalent to the
+                    # reference's done-boundary chunking (rnn.py:31-77)
+                    Tb, Eb, Ab = obs_b.shape[:3]
+                    obs_seq = obs_b.reshape(Tb, Eb * Ab, -1)
+                    m_agent = jnp.broadcast_to(
+                        mask_b[:, :, None, :], (Tb, Eb, Ab, 1)
+                    ).reshape(Tb, Eb * Ab, 1)
+                    h0a = jnp.zeros(
+                        (Eb * Ab, cfg.recurrent_n, cfg.hidden_size), jnp.float32
+                    )
+                    (mean, log_std), _ = self.actor.apply(
+                        a_params, obs_seq, h0a, m_agent, method="sequence"
+                    )
+                    mean = mean.reshape(Tb, Eb, Ab, -1)
+                else:
+                    (mean, log_std), _ = self.actor.apply(a_params, obs_b)
                 new_logp = D.normal_log_prob(mean, log_std, act_b)
                 ent = D.normal_entropy(log_std, mean)  # (..., act)
                 # all-ones active masks: mean over rows of per-dim sums
@@ -411,7 +473,16 @@ class MAPPO:
                     jnp.minimum(surr1, surr2), axis=-1, keepdims=True
                 ).mean()
 
-                values = self.value(c_params, cent_b)
+                if self._recurrent:
+                    Tb, Eb = cent_b.shape[:2]
+                    h0c = jnp.zeros(
+                        (Eb, cfg.recurrent_n, cfg.hidden_size), jnp.float32
+                    )
+                    values, _ = self.critic.apply(
+                        c_params, cent_b, h0c, mask_b, method="sequence"
+                    )
+                else:
+                    values = self.value(c_params, cent_b)
                 v_clip = vpred_b + jnp.clip(
                     values - vpred_b, -cfg.clip_param, cfg.clip_param
                 )
@@ -479,6 +550,7 @@ class MAPPO:
                     cent_rows[iv],
                     vpred_rows[iv],
                     ret_rows[iv],
+                    mask_rows[ia],
                 )
                 return minibatch_update(carry, mb_data)
 

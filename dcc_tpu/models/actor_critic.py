@@ -5,6 +5,11 @@ trunk -> optional GRU -> action head) and ``R_Critic:82-121`` (centralized-obs
 trunk -> optional GRU -> value head with orthogonal gain-1 init). Action heads
 use orthogonal init with gain 0.01 (``distributions.py:72-92``, mappo.yaml:25)
 and a state-independent log-std parameter (the reference's AddBias).
+
+Both modules expose a single-step ``__call__`` (rollout) and a ``sequence``
+method (training-time evaluation over a full (T, B, .) rollout with
+mask-resets — the scan equivalent of the reference's done-boundary chunking,
+``rnn.py:31-77``).
 """
 
 from __future__ import annotations
@@ -20,119 +25,118 @@ from .mlp import MLPBase
 from .rnn import MaskedGRU
 
 
-class Actor(nn.Module):
-    action_dim: int = 2
-    discrete: bool = False
+class _Trunk(nn.Module):
+    """Shared trunk builder: MLP (or CNN for rank-3 obs) + optional GRU."""
+
     hidden_size: int = 256
     layer_n: int = 1
     use_relu: bool = True
     use_feature_normalization: bool = True
     use_orthogonal: bool = True
-    gain: float = 0.01
     use_rnn: bool = False
     recurrent_n: int = 1
     use_cnn: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(
-        self,
-        obs: jnp.ndarray,
-        rnn_state: Optional[jnp.ndarray] = None,
-        masks: Optional[jnp.ndarray] = None,
-    ):
-        """Returns (dist_params, new_rnn_state).
-
-        dist_params: (mean, log_std) for Box actions, logits for Discrete.
-        """
-        base = CNNBase if self.use_cnn else MLPBase
-        kwargs = dict(
-            hidden_size=self.hidden_size,
-            use_relu=self.use_relu,
-            use_orthogonal=self.use_orthogonal,
-            dtype=self.dtype,
-        )
-        if not self.use_cnn:
-            kwargs.update(
-                layer_n=self.layer_n,
-                use_feature_normalization=self.use_feature_normalization,
+    def setup(self):
+        if self.use_cnn:
+            self.base = CNNBase(
+                hidden_size=self.hidden_size,
+                use_relu=self.use_relu,
+                use_orthogonal=self.use_orthogonal,
+                dtype=self.dtype,
+                name="base",
             )
-        x = base(**kwargs, name="base")(obs)
+        else:
+            self.base = MLPBase(
+                hidden_size=self.hidden_size,
+                layer_n=self.layer_n,
+                use_relu=self.use_relu,
+                use_feature_normalization=self.use_feature_normalization,
+                use_orthogonal=self.use_orthogonal,
+                dtype=self.dtype,
+                name="base",
+            )
         if self.use_rnn:
-            x, rnn_state = MaskedGRU(
+            self.rnn = MaskedGRU(
                 hidden_size=self.hidden_size,
                 recurrent_n=self.recurrent_n,
                 use_orthogonal=self.use_orthogonal,
                 name="rnn",
-            )(x, rnn_state, masks)
+            )
+
+    def features(self, obs, rnn_state, masks):
+        x = self.base(obs)
+        if self.use_rnn:
+            x, rnn_state = self.rnn(x, rnn_state, masks)
+        return x, rnn_state
+
+    def features_seq(self, obs_seq, h0, masks_seq):
+        x = self.base(obs_seq)  # feature-wise, works on (T, B, D)
+        if self.use_rnn:
+            x, h0 = self.rnn.sequence(x, h0, masks_seq)
+        return x, h0
+
+
+class Actor(_Trunk):
+    action_dim: int = 2
+    discrete: bool = False
+    gain: float = 0.01
+
+    def setup(self):
+        super().setup()
         head_init = (
             nn.initializers.orthogonal(scale=self.gain)
             if self.use_orthogonal
             else nn.initializers.xavier_uniform()
         )
-        out = nn.Dense(
+        self.act_out = nn.Dense(
             self.action_dim,
             kernel_init=head_init,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="act_out",
-        )(x)
-        if self.discrete:
-            return out, rnn_state
-        log_std = self.param(
-            "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
         )
-        return (out, log_std), rnn_state
-
-
-class Critic(nn.Module):
-    hidden_size: int = 256
-    layer_n: int = 1
-    use_relu: bool = True
-    use_feature_normalization: bool = True
-    use_orthogonal: bool = True
-    use_rnn: bool = False
-    recurrent_n: int = 1
-    use_cnn: bool = False
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(
-        self,
-        cent_obs: jnp.ndarray,
-        rnn_state: Optional[jnp.ndarray] = None,
-        masks: Optional[jnp.ndarray] = None,
-    ):
-        base = CNNBase if self.use_cnn else MLPBase
-        kwargs = dict(
-            hidden_size=self.hidden_size,
-            use_relu=self.use_relu,
-            use_orthogonal=self.use_orthogonal,
-            dtype=self.dtype,
-        )
-        if not self.use_cnn:
-            kwargs.update(
-                layer_n=self.layer_n,
-                use_feature_normalization=self.use_feature_normalization,
+        if not self.discrete:
+            self.log_std = self.param(
+                "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
             )
-        x = base(**kwargs, name="base")(cent_obs)
-        if self.use_rnn:
-            x, rnn_state = MaskedGRU(
-                hidden_size=self.hidden_size,
-                recurrent_n=self.recurrent_n,
-                use_orthogonal=self.use_orthogonal,
-                name="rnn",
-            )(x, rnn_state, masks)
+
+    def _head(self, x):
+        out = self.act_out(x)
+        if self.discrete:
+            return out
+        return (out, self.log_std)
+
+    def __call__(self, obs, rnn_state=None, masks=None):
+        x, rnn_state = self.features(obs, rnn_state, masks)
+        return self._head(x), rnn_state
+
+    def sequence(self, obs_seq, h0=None, masks_seq=None):
+        x, h = self.features_seq(obs_seq, h0, masks_seq)
+        return self._head(x), h
+
+
+class Critic(_Trunk):
+    def setup(self):
+        super().setup()
         v_init = (
             nn.initializers.orthogonal(scale=1.0)
             if self.use_orthogonal
             else nn.initializers.xavier_uniform()
         )
-        v = nn.Dense(
+        self.v_out = nn.Dense(
             1,
             kernel_init=v_init,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="v_out",
-        )(x)
-        return v, rnn_state
+        )
+
+    def __call__(self, cent_obs, rnn_state=None, masks=None):
+        x, rnn_state = self.features(cent_obs, rnn_state, masks)
+        return self.v_out(x), rnn_state
+
+    def sequence(self, cent_obs_seq, h0=None, masks_seq=None):
+        x, h = self.features_seq(cent_obs_seq, h0, masks_seq)
+        return self.v_out(x), h

@@ -139,3 +139,45 @@ def test_eval_iteration():
     )
     assert np.isfinite(float(out["reward"]))
     assert 0.0 <= float(out["coverage_rate"]) <= 1.0
+
+
+def test_recurrent_rollout_and_update():
+    """GRU policy: the naive-recurrent sequence replay in the update must
+    reproduce the rollout-time log-probs exactly (ratio == 1 on the first
+    update), proving scan-GRU(rollout) == sequence-GRU(training)."""
+    cfg = MAPPOConfig(
+        n_rollout_threads=4, episode_length=12, ppo_epoch=1, n_iters=5,
+        use_recurrent_policy=True, recurrent_n=1, hidden_size=32,
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    assert abs(float(m.ratio) - 1.0) < 1e-3
+    assert np.isfinite(float(m.value_loss))
+    # rnn params exist and were updated
+    assert "rnn" in ts.actor_params["params"]
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        ts.actor_params["params"]["rnn"],
+        ts2.actor_params["params"]["rnn"],
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_recurrent_two_layers():
+    cfg = MAPPOConfig(
+        n_rollout_threads=2, episode_length=6, ppo_epoch=1, n_iters=2,
+        use_recurrent_policy=True, recurrent_n=2, hidden_size=16,
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    _, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.reward))
+
+
+def test_recurrent_minibatch_unsupported():
+    cfg = MAPPOConfig(use_recurrent_policy=True, num_mini_batch=2)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MAPPO(cfg, ENV)
