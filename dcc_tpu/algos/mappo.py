@@ -87,6 +87,12 @@ class MAPPOConfig(NamedTuple):
     use_naive_recurrent: bool = False
     recurrent_n: int = 1
     use_centralized_v: bool = True
+    # share_policy=True: one set of actor/critic params for all agents (the
+    # reference's actual behavior -- learner.py:48-57 hardcodes shared MAPPO
+    # and ignores its share_policy flag). False: per-agent parameters, the
+    # make_algo/SeparatedReplayBuffer path, which this framework actually
+    # supports.
+    share_policy: bool = True
     # run shape
     n_rollout_threads: int = 16
     episode_length: int = 150
@@ -114,7 +120,7 @@ class Trajectory(NamedTuple):
     obs: jax.Array  # (T+1, E, A, D)
     actions: jax.Array  # (T, E, A, act)
     log_probs: jax.Array  # (T, E, A, 1)
-    values: jax.Array  # (T+1, E, 1)
+    values: jax.Array  # (T+1, E, 1) shared policy; (T+1, E, A, 1) separated
     rewards: jax.Array  # (T, E, 1)
     masks: jax.Array  # (T+1, E, 1)
     coverage: jax.Array  # (T, E)
@@ -178,6 +184,12 @@ class MAPPO:
                 "recurrent policies currently support num_mini_batch=1 "
                 "(full-sequence naive-recurrent evaluation)"
             )
+        self._sep = not cfg.share_policy
+        if self._sep and (self._recurrent or cfg.num_mini_batch != 1 or cfg.use_popart):
+            raise NotImplementedError(
+                "separated (per-agent) policies currently support the "
+                "feed-forward num_mini_batch=1 non-popart path"
+            )
 
         updates_per_iter = cfg.ppo_epoch * cfg.num_mini_batch
 
@@ -222,15 +234,37 @@ class MAPPO:
             m = jnp.ones((1, 1))
             actor_params = self.actor.init(k_a, dummy_obs, h, m)
             critic_params = self.critic.init(k_c, dummy_cent, h, m)
+        elif self._sep:
+            # per-agent parameter stacks (make_algo per-agent MAPPO path)
+            n = self.env_cfg.n_agents
+            actor_params = jax.vmap(lambda k: self.actor.init(k, dummy_obs))(
+                jax.random.split(k_a, n)
+            )
+            critic_params = jax.vmap(lambda k: self.critic.init(k, dummy_cent))(
+                jax.random.split(k_c, n)
+            )
         else:
             actor_params = self.actor.init(k_a, dummy_obs)
             critic_params = self.critic.init(k_c, dummy_cent)
+        if self._sep:
+            n = self.env_cfg.n_agents
+            actor_opt = jax.vmap(self.actor_tx.init)(actor_params)
+            critic_opt = jax.vmap(self.critic_tx.init)(critic_params)
+            vnorm = (
+                jax.vmap(lambda _: VN.init())(jnp.arange(n))
+                if self.cfg.use_valuenorm
+                else None
+            )
+        else:
+            actor_opt = self.actor_tx.init(actor_params)
+            critic_opt = self.critic_tx.init(critic_params)
+            vnorm = VN.init() if self.cfg.use_valuenorm else None
         return TrainState(
             actor_params=actor_params,
             critic_params=critic_params,
-            actor_opt=self.actor_tx.init(actor_params),
-            critic_opt=self.critic_tx.init(critic_params),
-            vnorm=VN.init() if self.cfg.use_valuenorm else None,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            vnorm=vnorm,
             popart=PA.init() if self.cfg.use_popart else None,
             update_count=jnp.zeros((), jnp.int32),
             iteration=jnp.zeros((), jnp.int32),
@@ -267,6 +301,12 @@ class MAPPO:
 
     def _denorm(self, ts: TrainState, v: jax.Array) -> jax.Array:
         if self.cfg.use_valuenorm:
+            if self._sep:
+                # per-agent stacked ValueNorm states: map over the agent axis
+                # (v: (..., A, 1), state leaves: (A, ...))
+                vm = jnp.moveaxis(v, -2, 0)
+                out = jax.vmap(VN.denormalize)(ts.vnorm, vm)
+                return jnp.moveaxis(out, 0, -2)
             return VN.denormalize(ts.vnorm, v)
         if self.cfg.use_popart:
             return PA.denormalize(ts.popart, v)
@@ -310,6 +350,17 @@ class MAPPO:
                     ts.actor_params, k_act, flat_obs, deterministic, h_a, agent_mask
                 )
                 v, h_c = self.value(ts.critic_params, cent, h_c, mask)
+            elif self._sep:
+                # per-agent params: vmap over the agent axis
+                k_agents = jax.random.split(k_act, n_agents)
+                action, logp = jax.vmap(
+                    lambda p, k, o: self.act(p, k, o, deterministic),
+                    in_axes=(0, 0, 1),
+                    out_axes=1,
+                )(ts.actor_params, k_agents, obs)
+                v = jax.vmap(
+                    lambda p: self.value(p, cent), out_axes=1
+                )(ts.critic_params)  # (E, A, 1)
             else:
                 action, logp = self.act(ts.actor_params, k_act, flat_obs, deterministic)
                 v = self.value(ts.critic_params, cent)  # (E, 1)
@@ -337,6 +388,11 @@ class MAPPO:
         if self._recurrent:
             v_T, _ = self.value(
                 ts.critic_params, obs_T.reshape(n_envs, -1), h_cT, mask_T
+            )
+        elif self._sep:
+            cent_T = obs_T.reshape(n_envs, -1)
+            v_T = jax.vmap(lambda p: self.value(p, cent_T), out_axes=1)(
+                ts.critic_params
             )
         else:
             v_T = self.value(ts.critic_params, obs_T.reshape(n_envs, -1))
@@ -372,9 +428,123 @@ class MAPPO:
     # ------------------------------------------------------------------
     # ppo update
     # ------------------------------------------------------------------
+    def _update_separated(
+        self, ts: TrainState, key: jax.Array, traj: Trajectory, adv, returns
+    ):
+        """Per-agent PPO updates with per-agent parameters/optimizers/value
+        normalizers -- the make_algo + SeparatedReplayBuffer path of the
+        reference (``algos/make_algo.py:26-46``, ``buffer/separated_buffer.py``),
+        vmapped over the agent axis. Advantages are normalized per agent
+        (each agent owns its buffer)."""
+        cfg = self.cfg
+        T, E, A, _ = traj.actions.shape
+        # adv/returns/values carry the per-agent axis: (T, E, A, 1)
+        adv_mean = adv.mean(axis=(0, 1), keepdims=True)
+        adv_std = adv.std(axis=(0, 1), keepdims=True)
+        adv_n = (adv - adv_mean) / (adv_std + 1e-5)
+        cent = traj.obs[:-1].reshape(T, E, A * self.obs_dim)
+
+        move = lambda x: jnp.moveaxis(x, 2, 0)  # -> (A, T, E, .)
+        data = (
+            move(traj.obs[:-1]),
+            move(traj.actions),
+            move(traj.log_probs),
+            move(adv_n),
+            move(traj.values[:-1]),
+            move(returns),
+        )
+
+        def one_agent(a_params, c_params, a_opt, c_opt, vnorm_i, d):
+            obs_i, act_i, logp_i, adv_i, vpred_i, ret_i = d
+
+            def epoch(carry, _):
+                ap, cp, ao, co, vn, cnt = carry
+                if cfg.use_valuenorm:
+                    vn = VN.update(vn, ret_i)
+                    ret_t = VN.normalize(vn, ret_i)
+                else:
+                    ret_t = ret_i
+
+                def loss_fn(ap, cp):
+                    (mean, log_std), _ = self.actor.apply(ap, obs_i)
+                    new_logp = D.normal_log_prob(mean, log_std, act_i)
+                    ent = D.normal_entropy(log_std, mean)
+                    dist_entropy = ent.sum(-1).mean()
+                    ratio = jnp.exp(new_logp - logp_i)
+                    surr1 = ratio * adv_i
+                    surr2 = (
+                        jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+                        * adv_i
+                    )
+                    policy_loss = -jnp.sum(
+                        jnp.minimum(surr1, surr2), axis=-1, keepdims=True
+                    ).mean()
+                    values = self.value(cp, cent)
+                    v_clip = vpred_i + jnp.clip(
+                        values - vpred_i, -cfg.clip_param, cfg.clip_param
+                    )
+                    err = ret_t - values
+                    err_c = ret_t - v_clip
+                    lf = (
+                        (lambda e: _huber(e, cfg.huber_delta))
+                        if cfg.use_huber_loss
+                        else _mse
+                    )
+                    vl = (
+                        jnp.maximum(lf(err), lf(err_c))
+                        if cfg.use_clipped_value_loss
+                        else lf(err)
+                    )
+                    value_loss = vl.mean()
+                    total = (
+                        policy_loss
+                        - dist_entropy * cfg.entropy_coef
+                        + value_loss * cfg.value_loss_coef
+                    )
+                    return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
+
+                (_, aux), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(ap, cp)
+                a_grads, c_grads = grads
+                a_norm = optax.global_norm(a_grads)
+                c_norm = optax.global_norm(c_grads)
+                a_up, ao = self.actor_tx.update(a_grads, ao, ap)
+                ap = optax.apply_updates(ap, a_up)
+                c_up, co = self.critic_tx.update(c_grads, co, cp)
+                cp = optax.apply_updates(cp, c_up)
+                pl, vl_, de, rt = aux
+                return (ap, cp, ao, co, vn, cnt + 1), jnp.stack(
+                    [vl_, pl, de, a_norm, c_norm, rt]
+                )
+
+            carry = (a_params, c_params, a_opt, c_opt, vnorm_i, jnp.zeros((), jnp.int32))
+            carry, ms = jax.lax.scan(epoch, carry, None, length=cfg.ppo_epoch)
+            ap, cp, ao, co, vn, _ = carry
+            return ap, cp, ao, co, vn, ms.mean(axis=0)
+
+        vnorm = ts.vnorm if cfg.use_valuenorm else jax.vmap(lambda _: VN.init())(
+            jnp.arange(A)
+        )
+        ap, cp, ao, co, vn, ms = jax.vmap(one_agent)(
+            ts.actor_params, ts.critic_params, ts.actor_opt, ts.critic_opt, vnorm, data
+        )
+        ts = ts.replace(
+            actor_params=ap,
+            critic_params=cp,
+            actor_opt=ao,
+            critic_opt=co,
+            vnorm=vn if cfg.use_valuenorm else None,
+            update_count=ts.update_count + cfg.ppo_epoch,
+            iteration=ts.iteration + 1,
+        )
+        return ts, ms.mean(axis=0)
+
     def update(self, ts: TrainState, key: jax.Array, traj: Trajectory, adv, returns):
         """The epoch/minibatch PPO loop as a lax.scan (MAPPOTrainer.train,
         mappo.py:189-227)."""
+        if self._sep:
+            return self._update_separated(ts, key, traj, adv, returns)
         cfg = self.cfg
         T, E, A, _ = traj.actions.shape
 

@@ -51,7 +51,10 @@ def compute_gae(
     xs = (rewards, v_next, v_curr, m_next)
     if bad_masks is not None:
         xs = xs + (bad_masks[1:],)
-    _, adv = jax.lax.scan(body, jnp.zeros_like(rewards[0]), xs, reverse=True)
+    # carry shape = broadcast of rewards/values/masks (values may carry a
+    # per-agent axis under separated policies)
+    init = jnp.zeros_like(rewards[0] + v_curr[0] * m_next[0])
+    _, adv = jax.lax.scan(body, init, xs, reverse=True)
     return adv, adv + v_curr
 
 

@@ -181,3 +181,37 @@ def test_recurrent_minibatch_unsupported():
 
     with _pytest.raises(NotImplementedError):
         MAPPO(cfg, ENV)
+
+
+def test_separated_policy_path():
+    """share_policy=False: per-agent params/optimizers/value-normalizers
+    (the reference's make_algo + SeparatedReplayBuffer path, which its
+    learner never wires up -- learner.py:48 hardcodes shared MAPPO)."""
+    cfg = MAPPOConfig(
+        n_rollout_threads=4, episode_length=12, ppo_epoch=2, n_iters=5,
+        share_policy=False, hidden_size=32,
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    # stacked per-agent params
+    leaf = jax.tree_util.tree_leaves(ts.actor_params)[0]
+    assert leaf.shape[0] == 4
+    traj = jax.jit(lambda t, k: algo.rollout(t, k, 4))(ts, jax.random.PRNGKey(2))
+    assert traj.values.shape == (12 + 1, 4, 4, 1)  # per-agent critics
+    ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    assert abs(float(m.ratio) - 1.0) < 0.05
+    assert np.isfinite(float(m.value_loss))
+    # per-agent vnorm states advanced
+    assert np.all(np.asarray(ts2.vnorm.debias) > 0)
+    # agents trained on different data -> diverged parameters
+    p = np.asarray(jax.tree_util.tree_leaves(ts2.actor_params)[1])
+    assert not np.allclose(p[0], p[1])
+
+
+def test_separated_unsupported_combos():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MAPPO(MAPPOConfig(share_policy=False, use_recurrent_policy=True), ENV)
+    with _pytest.raises(NotImplementedError):
+        MAPPO(MAPPOConfig(share_policy=False, num_mini_batch=2), ENV)
