@@ -170,8 +170,12 @@ class MAPPO:
             use_rnn=cfg.use_recurrent_policy or cfg.use_naive_recurrent,
             recurrent_n=cfg.recurrent_n,
         )
+        self._discrete = env_cfg.discrete_actions
         self.actor = Actor(
-            action_dim=env_cfg.action_dim, gain=cfg.gain, **net_kwargs
+            action_dim=env_cfg.action_dim,
+            discrete=self._discrete,
+            gain=cfg.gain,
+            **net_kwargs,
         )
         self.critic = Critic(**net_kwargs)
         self.obs_dim = env_cfg.obs_dim
@@ -283,15 +287,39 @@ class MAPPO:
         masks=None,
     ):
         """obs: (..., D) -> (action (..., act), log_prob (..., 1)[, h'])."""
-        (mean, log_std), h = self.actor.apply(actor_params, obs, rnn_state, masks)
-        if deterministic:
-            action = D.normal_mode(mean)
+        out, h = self.actor.apply(actor_params, obs, rnn_state, masks)
+        if self._discrete:
+            logits = out
+            if deterministic:
+                action = D.categorical_mode(logits)
+            else:
+                action = D.categorical_sample(key, logits)
+            logp = D.categorical_log_prob(logits, action)
         else:
-            action = D.normal_sample(key, mean, log_std)
-        logp = D.normal_log_prob(mean, log_std, action)
+            mean, log_std = out
+            if deterministic:
+                action = D.normal_mode(mean)
+            else:
+                action = D.normal_sample(key, mean, log_std)
+            logp = D.normal_log_prob(mean, log_std, action)
         if rnn_state is None:
             return action, logp
         return action, logp, h
+
+    def _eval_dist(self, out, action):
+        """Evaluate actions under the actor head output: returns
+        (log_prob (..., 1), per-sample entropy (..., k)) -- the ACTLayer
+        evaluate_actions dispatch (act.py:118-194) for Box/Discrete heads."""
+        if self._discrete:
+            logits = out
+            lp = D.categorical_log_prob(logits, action)
+            ent = D.categorical_entropy(logits)[..., None]
+            return lp, ent
+        mean, log_std = out
+        return (
+            D.normal_log_prob(mean, log_std, action),
+            D.normal_entropy(log_std, mean),
+        )
 
     def value(self, critic_params, cent_obs, rnn_state=None, masks=None):
         v, h = self.critic.apply(critic_params, cent_obs, rnn_state, masks)
@@ -466,9 +494,8 @@ class MAPPO:
                     ret_t = ret_i
 
                 def loss_fn(ap, cp):
-                    (mean, log_std), _ = self.actor.apply(ap, obs_i)
-                    new_logp = D.normal_log_prob(mean, log_std, act_i)
-                    ent = D.normal_entropy(log_std, mean)
+                    out, _ = self.actor.apply(ap, obs_i)
+                    new_logp, ent = self._eval_dist(out, act_i)
                     dist_entropy = ent.sum(-1).mean()
                     ratio = jnp.exp(new_logp - logp_i)
                     surr1 = ratio * adv_i
@@ -622,14 +649,16 @@ class MAPPO:
                     h0a = jnp.zeros(
                         (Eb * Ab, cfg.recurrent_n, cfg.hidden_size), jnp.float32
                     )
-                    (mean, log_std), _ = self.actor.apply(
+                    out, _ = self.actor.apply(
                         a_params, obs_seq, h0a, m_agent, method="sequence"
                     )
-                    mean = mean.reshape(Tb, Eb, Ab, -1)
+                    reshape = lambda x: x.reshape(Tb, Eb, Ab, -1)
+                    out = reshape(out) if self._discrete else (
+                        reshape(out[0]), out[1]
+                    )
                 else:
-                    (mean, log_std), _ = self.actor.apply(a_params, obs_b)
-                new_logp = D.normal_log_prob(mean, log_std, act_b)
-                ent = D.normal_entropy(log_std, mean)  # (..., act)
+                    out, _ = self.actor.apply(a_params, obs_b)
+                new_logp, ent = self._eval_dist(out, act_b)
                 # all-ones active masks: mean over rows of per-dim sums
                 # (act.py:174-181)
                 dist_entropy = ent.sum(-1).mean()

@@ -90,6 +90,10 @@ class EnvConfig(NamedTuple):
     hard_bound: float = 1.5
     bb: float = 1.2
     size: float = 0.02
+    # discrete_actions mirrors the reference's discrete_action_space mode
+    # (environment.py:48-52: Discrete(2*dim_p+1); decode at :171-185):
+    # actions are indices {0: noop, 1: -x, 2: +x, 3: -y, 4: +y}.
+    discrete_actions: bool = False
     # --- extensions beyond the reference (off by default) ---
     randomize_pois: bool = False
     poi_speed: float = 0.0
@@ -107,7 +111,8 @@ class EnvConfig(NamedTuple):
 
     @property
     def action_dim(self) -> int:
-        return 2
+        """Continuous: force dims; discrete: number of actions."""
+        return 5 if self.discrete_actions else 2
 
     @property
     def effective_contact_force(self) -> float:
@@ -328,7 +333,14 @@ def step(cfg: EnvConfig, state: EnvState, action: jax.Array) -> Tuple[EnvState, 
     """
     n, m = cfg.n_agents, cfg.n_pois
     dtype = state.pos.dtype
-    action = jnp.asarray(action, dtype)
+    if cfg.discrete_actions:
+        # index -> unit force decode (environment.py:171-176)
+        table = jnp.asarray(
+            [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]], dtype
+        )
+        action = table[jnp.asarray(action, jnp.int32).reshape(n)]
+    else:
+        action = jnp.asarray(action, dtype)
 
     # -- pre-integration connectivity on OLD positions (CoverageWorld.py:58-59)
     force = action * cfg.sensitivity  # environment.py:186-190

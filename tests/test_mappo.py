@@ -215,3 +215,36 @@ def test_separated_unsupported_combos():
         MAPPO(MAPPOConfig(share_policy=False, use_recurrent_policy=True), ENV)
     with _pytest.raises(NotImplementedError):
         MAPPO(MAPPOConfig(share_policy=False, num_mini_batch=2), ENV)
+
+
+def test_discrete_action_path():
+    """discrete_actions: Discrete(5) head + index->force env decode
+    (reference environment.py:48-52,171-185; Categorical ACTLayer)."""
+    env_cfg = EnvConfig(discrete_actions=True)
+    cfg = MAPPOConfig(
+        n_rollout_threads=4, episode_length=12, ppo_epoch=2, n_iters=5,
+        hidden_size=32,
+    )
+    algo = MAPPO(cfg, env_cfg)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    traj = jax.jit(lambda t, k: algo.rollout(t, k, 4))(ts, jax.random.PRNGKey(2))
+    acts = np.asarray(traj.actions)
+    assert acts.shape == (12, 4, 4, 1)
+    assert set(np.unique(acts)).issubset({0, 1, 2, 3, 4})
+    ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    assert abs(float(m.ratio) - 1.0) < 0.05
+    # near-uniform policy at init: entropy ~ log(5)
+    assert abs(float(m.dist_entropy) - np.log(5)) < 0.2
+
+
+def test_discrete_env_decode():
+    from dcc_tpu.envs import reset, step
+
+    env_cfg = EnvConfig(discrete_actions=True)
+    s = reset(env_cfg, jax.random.PRNGKey(0))
+    s2, _ = step(env_cfg, s, jnp.array([2, 1, 3, 4], jnp.int32))
+    v = np.asarray(s2.vel)
+    np.testing.assert_allclose(v[0], [0.5, 0.0], atol=1e-6)   # +x
+    np.testing.assert_allclose(v[1], [-0.5, 0.0], atol=1e-6)  # -x
+    np.testing.assert_allclose(v[2], [0.0, -0.5], atol=1e-6)  # -y
+    np.testing.assert_allclose(v[3], [0.0, 0.5], atol=1e-6)   # +y
