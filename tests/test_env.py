@@ -194,3 +194,63 @@ def test_moving_pois_extension():
     s2, _ = step(cfg, s, jnp.zeros((4, 2), F32))
     assert not np.allclose(np.asarray(s2.poi_pos), np.asarray(s.poi_pos))
     assert np.all(np.abs(np.asarray(s2.poi_pos)) <= 1.0)
+
+
+def test_dcenv_facade_matches_functional_env():
+    """DCEnv mirrors the reference facade API (uav_dcc.py:7-58)."""
+    from dcc_tpu.envs import DCEnv
+
+    env = DCEnv()
+    assert len(env.observation_space) == 4
+    assert env.observation_space[0].shape == (110,)
+    assert env.share_observation_space[0].shape == (440,)
+    assert env.action_space[0].shape == (2,)
+    obs = env.reset()
+    assert obs.shape == (4, 110)
+    a = np.zeros((4, 2), np.float32)
+    obs2, rew, done, info = env.step(a)
+    assert obs2.shape == (4, 110) and rew.shape == (4,) and done.shape == (4,)
+    assert np.all(rew == rew[0])  # shared team reward
+    assert "coverage_rate" in info
+    frame = env.render()
+    assert frame.shape == (700, 700, 3)
+
+
+def test_vec_facade_autoreset_and_shapes():
+    from dcc_tpu.envs import VecDCEnv
+
+    venv = VecDCEnv(n_envs=3)
+    obs = venv.reset()
+    assert obs.shape == (3, 4, 110)
+    obs, rews, dones, infos = venv.step(np.zeros((3, 4, 2), np.float32))
+    assert rews.shape == (3, 4, 1)  # wrappers.py:165 reshape parity
+    assert dones.shape == (3, 4)
+    assert len(infos) == 3 and "coverage_rate" in infos[0]
+
+
+def test_heuristic_policy_improves_coverage():
+    from dcc_tpu.envs import DCEnv, HeuristicCoveragePolicy
+
+    env = DCEnv()
+    pol = HeuristicCoveragePolicy()
+    obs = env.reset()
+    cr = 0.0
+    for _ in range(150):
+        obs, rew, done, info = env.step(pol.action(obs))
+        cr = max(cr, info["coverage_rate"])
+        if done.all():
+            break
+    assert cr > 0.2  # scripted controller covers a meaningful share
+
+
+def test_spaces():
+    from dcc_tpu.envs import Box, Discrete, MultiDiscrete
+
+    b = Box(low=-1, high=1, shape=(2,))
+    rng = np.random.RandomState(0)
+    assert b.contains(b.sample(rng))
+    d = Discrete(5)
+    assert d.contains(d.sample(rng)) and not d.contains(7)
+    md = MultiDiscrete([[0, 4], [0, 1]])
+    s = md.sample(rng)
+    assert md.contains(s) and md.n == 7
