@@ -44,6 +44,7 @@ from ..models import distributions as D
 from ..models import popart as PA
 from ..models import valuenorm as VN
 from ..ops.gae import compute_gae, discounted_returns
+from ..ops.pallas_gae import compute_gae_pallas
 
 
 class MAPPOConfig(NamedTuple):
@@ -97,6 +98,9 @@ class MAPPOConfig(NamedTuple):
     n_rollout_threads: int = 16
     episode_length: int = 150
     n_iters: int = 200
+    # GAE backend: "auto" picks the fused Pallas kernel on TPU and the
+    # lax.scan formulation elsewhere; "pallas"/"xla" force one.
+    gae_backend: str = "auto"
 
 
 @struct.dataclass
@@ -443,7 +447,17 @@ class MAPPO:
         cfg = self.cfg
         values = self._denorm(ts, traj.values)
         if cfg.use_gae:
-            adv, returns = compute_gae(
+            # "auto": fused Pallas kernel on a single TPU chip; under a
+            # multi-device GSPMD mesh stay with lax.scan (an opaque custom
+            # call would force XLA to gather the env-sharded trajectory).
+            single_dev = self.mesh is None or self.mesh.devices.size == 1
+            use_pallas = cfg.gae_backend == "pallas" or (
+                cfg.gae_backend == "auto"
+                and single_dev
+                and jax.default_backend() in ("tpu", "axon")
+            )
+            gae_fn = compute_gae_pallas if use_pallas else compute_gae
+            adv, returns = gae_fn(
                 traj.rewards, values, traj.masks, cfg.gamma, cfg.gae_lambda
             )
         else:

@@ -1,0 +1,93 @@
+"""Fused GAE as a single Pallas TPU kernel.
+
+Parity target: ``buffer/shared_buffer.py:199-213`` in the reference (same
+recurrence as :mod:`dcc_tpu.ops.gae`), but computed in one kernel launch:
+the whole ``(T, B)`` trajectory block is staged into VMEM once and the
+reverse-time recurrence runs as an on-chip ``fori_loop``, writing both the
+advantage and the return rows in place. The ``lax.scan`` formulation instead
+materializes T tiny elementwise kernels with an HBM round-trip per step; for
+the default run shape (T=150, B = n_envs * n_agents = 16k..1M lanes) the
+recurrence is bandwidth-bound, so keeping the block resident in VMEM is the
+speed-of-light implementation.
+
+Layout: time on the sublane axis, batch on the lane axis, tiled in
+``block_b``-lane stripes over a 1-D grid (each stripe is an independent
+recurrence — the carry never crosses the lane axis, so grid programs are
+embarrassingly parallel). VMEM footprint per program is
+``6 * T * block_b * 4`` bytes (~1.9 MB at T=150, block_b=512).
+
+GAE is not differentiated through (advantages/returns are constants of the
+PPO loss), so no custom VJP is needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gae_kernel(r_ref, vn_ref, vc_ref, m_ref, adv_ref, ret_ref, *, gamma, lam, T):
+    """Reverse-time first-order linear recurrence over the sublane axis."""
+
+    def body(i, gae):
+        t = T - 1 - i
+        r = r_ref[pl.ds(t, 1), :]
+        vn = vn_ref[pl.ds(t, 1), :]
+        vc = vc_ref[pl.ds(t, 1), :]
+        m = m_ref[pl.ds(t, 1), :]
+        delta = r + gamma * vn * m - vc
+        gae = delta + gamma * lam * m * gae
+        adv_ref[pl.ds(t, 1), :] = gae
+        ret_ref[pl.ds(t, 1), :] = gae + vc
+        return gae
+
+    zero = jnp.zeros((1, r_ref.shape[1]), r_ref.dtype)
+    jax.lax.fori_loop(0, T, body, zero)
+
+
+@partial(jax.jit, static_argnames=("gamma", "gae_lambda", "block_b", "interpret"))
+def compute_gae_pallas(
+    rewards: jax.Array,  # (T, ..., 1)
+    values: jax.Array,  # (T+1, ..., 1) denormalized
+    masks: jax.Array,  # (T+1, ..., 1)
+    gamma: float,
+    gae_lambda: float,
+    block_b: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for :func:`dcc_tpu.ops.gae.compute_gae`
+    (``bad_masks=None`` path). Returns ``(advantages, returns)``.
+    """
+    r, vn, vc, m = jnp.broadcast_arrays(
+        rewards, values[1:], values[:-1], masks[1:]
+    )
+    T = r.shape[0]
+    trailing = r.shape[1:]
+    dtype = jnp.result_type(r.dtype, jnp.float32)
+
+    def flat(x):
+        return x.reshape(T, -1).astype(dtype)
+
+    r2, vn2, vc2, m2 = flat(r), flat(vn), flat(vc), flat(m)
+    B = r2.shape[1]
+    grid = (pl.cdiv(B, block_b),)
+    spec = pl.BlockSpec((T, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    adv, ret = pl.pallas_call(
+        partial(_gae_kernel, gamma=gamma, lam=gae_lambda, T=T),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B), dtype),
+            jax.ShapeDtypeStruct((T, B), dtype),
+        ),
+        interpret=interpret,
+    )(r2, vn2, vc2, m2)
+    shape = (T,) + trailing
+    return adv.reshape(shape).astype(r.dtype), ret.reshape(shape).astype(r.dtype)
