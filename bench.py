@@ -28,8 +28,10 @@ def main():
     T = int(os.environ.get("BENCH_T", "150"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+
     env_cfg = EnvConfig()
-    cfg = MAPPOConfig(n_rollout_threads=n_envs, episode_length=T)
+    cfg = MAPPOConfig(n_rollout_threads=n_envs, episode_length=T, use_remat=remat)
     algo = MAPPO(cfg, env_cfg)
     ts = algo.init_state(jax.random.PRNGKey(0))
 

@@ -101,6 +101,11 @@ class MAPPOConfig(NamedTuple):
     # GAE backend: "auto" picks the fused Pallas kernel on TPU and the
     # lax.scan formulation elsewhere; "pallas"/"xla" force one.
     gae_backend: str = "auto"
+    # Rematerialize the PPO-loss forward passes (jax.checkpoint): XLA stores
+    # no trunk activations for the (T*E*A)-row minibatch and recomputes them
+    # in the backward pass, trading ~1/3 more update FLOPs for fitting ~2x
+    # the env count in HBM. Identical gradients (tests/test_mappo.py).
+    use_remat: bool = False
 
 
 @struct.dataclass
@@ -671,7 +676,12 @@ class MAPPO:
                         reshape(out[0]), out[1]
                     )
                 else:
-                    out, _ = self.actor.apply(a_params, obs_b)
+                    if cfg.use_remat:
+                        out, _ = jax.checkpoint(
+                            lambda p, o: self.actor.apply(p, o)
+                        )(a_params, obs_b)
+                    else:
+                        out, _ = self.actor.apply(a_params, obs_b)
                 new_logp, ent = self._eval_dist(out, act_b)
                 # all-ones active masks: mean over rows of per-dim sums
                 # (act.py:174-181)
@@ -694,6 +704,8 @@ class MAPPO:
                     values, _ = self.critic.apply(
                         c_params, cent_b, h0c, mask_b, method="sequence"
                     )
+                elif cfg.use_remat:
+                    values = jax.checkpoint(self.value)(c_params, cent_b)
                 else:
                     values = self.value(c_params, cent_b)
                 v_clip = vpred_b + jnp.clip(
