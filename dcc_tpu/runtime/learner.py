@@ -23,7 +23,9 @@ import numpy as np
 from ..algos import MAPPO
 from ..configs.loader import load as load_config
 from ..parallel import make_mesh, replicated
+from ..parallel import distributed as dist
 from ..render.gif import render_gif, rollout_states
+from ..utils.profiling import Profiler
 from . import checkpoint as ckpt
 
 
@@ -31,6 +33,11 @@ class Learner:
     def __init__(self, overrides: Optional[Dict[str, Any]] = None, use_mesh: bool = False):
         self.cfg, self.env_cfg, self.algo_cfg = load_config(overrides)
         self.seed = int(self.cfg.get("seed", 0))
+
+        # join the multi-process runtime if launched as one (no-op otherwise);
+        # host-side side effects below are coordinator-only
+        dist.initialize()
+        self.is_coordinator = dist.is_coordinator()
 
         mesh = None
         if use_mesh and jax.device_count() > 1:
@@ -61,7 +68,7 @@ class Learner:
         )
 
         # run dir + config snapshot (learner.py:111-120)
-        self.is_save_model = bool(self.cfg.get("save_model", True))
+        self.is_save_model = bool(self.cfg.get("save_model", True)) and self.is_coordinator
         self.output_path = None
         if self.is_save_model:
             expt_name = datetime.datetime.now().strftime("%m%d_%H%M_") + f"sd{self.seed}"
@@ -78,8 +85,18 @@ class Learner:
             self.load_model(str(self.cfg["load_model_path"]))
             print("!!!!!Note: Load model, done!!!!!")
 
+        # per-phase timing + optional windowed device-trace capture
+        # (SURVEY.md section 5: the reference has no tracing at all)
+        trace_dir = self.cfg.get("profile_dir") or None
+        trace_iters = None
+        if trace_dir:
+            span = str(self.cfg.get("profile_trace_iters", "3:5"))
+            a, _, b = span.partition(":")
+            trace_iters = (int(a), int(b or a))
+        self.profiler = Profiler(trace_dir=trace_dir, trace_iters=trace_iters)
+
         # wandb (gated, learner.py:125-127)
-        self.is_log_wandb = bool(self.cfg.get("log_wandb", False))
+        self.is_log_wandb = bool(self.cfg.get("log_wandb", False)) and self.is_coordinator
         self._wandb = None
         if self.is_log_wandb:
             try:
@@ -108,7 +125,12 @@ class Learner:
         log_interval = int(self.cfg.get("log_interval", 1))
 
         for it in range(1, n_iters + 1):
-            self.ts, m = self._train(self.ts, self.base_key)
+            self.profiler.maybe_start(it)
+            with self.profiler.phase("train"):
+                self.ts, m = self._train(self.ts, self.base_key)
+                if self.profiler.trace_iters is not None:
+                    jax.block_until_ready(m)
+            self.profiler.maybe_stop(it)
 
             logs: Dict[str, Dict[str, float]] = {}
             if it % log_interval == 0:
@@ -126,23 +148,31 @@ class Learner:
                 }
 
             if self._eval is not None and it % eval_interval == 0:
-                ev = self._eval(self.ts, jax.random.fold_in(self.base_key, 10_000 + it))
+                with self.profiler.phase("eval"):
+                    ev = self._eval(
+                        self.ts, jax.random.fold_in(self.base_key, 10_000 + it)
+                    )
                 logs["test_rollout_info"] = {
                     "reward": float(ev["reward"]),
                     "coverage_rate": float(ev["coverage_rate"]),
                 }
 
             if it % render_interval == 0 and self.output_path and self.cfg.get("save_gifs", True):
-                self.render(os.path.join(self.output_path, f"models_{it}.gif"))
+                with self.profiler.phase("render"):
+                    self.render(os.path.join(self.output_path, f"models_{it}.gif"))
 
             if logs:
                 self.log(it, logs)
 
             if self.is_save_model and it % save_interval == 0:
-                path = os.path.join(self.output_path, f"models_{it}")
-                self.save_model(path)
+                with self.profiler.phase("save"):
+                    path = os.path.join(self.output_path, f"models_{it}")
+                    self.save_model(path)
                 print(f"model saved in {path}")
 
+        self.profiler.stop()
+        if self.is_coordinator and self.profiler.summary():
+            print("phase timing:", json.dumps(self.profiler.summary()))
         if self._wandb is not None:
             self._wandb.finish()
 
@@ -158,6 +188,8 @@ class Learner:
         if self._wandb is not None:
             for _, d in logs.items():
                 self._wandb.log(d, step=it)
+        if not self.is_coordinator:
+            return
         now = time.time()
         print(
             f"******** iter: {it}, iter_time: {now - self._check:.2f}s, "
