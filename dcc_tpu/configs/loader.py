@@ -112,7 +112,57 @@ def to_algo_config(cfg: Dict[str, Any]) -> MAPPOConfig:
         n_rollout_threads=int(cfg.get("n_rollout_threads", 16)),
         episode_length=int(cfg.get("max_ep_len", 150)),
         n_iters=int(cfg.get("n_iters", 200)),
+        # extensions beyond the reference yaml. NB: the reference's
+        # `share_policy` yaml key is ignored by its learner (learner.py:48-57
+        # always builds one shared policy), so parity keeps shared params by
+        # default; opt into per-agent params with use_separated_policy.
+        share_policy=not bool(cfg.get("use_separated_policy", False)),
+        use_remat=bool(cfg.get("use_remat", False)),
+        gae_backend=str(cfg.get("gae_backend", "auto")),
     )
+
+
+def to_maddpg_config(cfg: Dict[str, Any]):
+    """Map merged yaml keys onto MADDPGConfig (algo_config/maddpg.yaml)."""
+    from ..algos.maddpg import MADDPGConfig
+
+    return MADDPGConfig(
+        actor_lr=float(cfg.get("actor_lr", 5e-4)),
+        critic_lr=float(cfg.get("critic_lr", 1e-3)),
+        gamma=float(cfg.get("gamma", 0.99)),
+        tau=float(cfg.get("tau", 0.01)),
+        hidden_sizes=tuple(cfg.get("hidden_sizes_mlp", [64])),
+        buffer_capacity=int(cfg.get("buffer_capacity", 100_000)),
+        batch_size=int(cfg.get("batch_size", 256)),
+        ou_mu=float(cfg.get("ou_mu", 0.0)),
+        ou_theta=float(cfg.get("ou_theta", 0.15)),
+        ou_sigma=float(cfg.get("ou_sigma", 0.2)),
+        n_envs=int(cfg.get("n_rollout_threads", 16)),
+        steps_per_iter=int(cfg.get("max_ep_len", 150)),
+        updates_per_iter=int(cfg.get("updates_per_iter", 50)),
+        warmup_steps=int(cfg.get("warmup_steps", 1000)),
+    )
+
+
+#: Named env-config presets, one per BASELINE.json benchmark config.
+PRESETS = {
+    "default": "dcc.yaml",
+    "3uav_small": "dcc_3uav_small.yaml",
+    "5uav_dense_conn": "dcc_5uav_dense_conn.yaml",
+    "10uav_moving_collision": "dcc_10uav_moving_collision.yaml",
+    "throughput_4096": "dcc_throughput_4096.yaml",
+    "20uav_16k_dist": "dcc_20uav_16k_dist.yaml",
+}
+
+
+def load_preset(
+    name: str, overrides: Optional[Dict[str, Any]] = None
+) -> Tuple[Dict[str, Any], EnvConfig, MAPPOConfig]:
+    """Load a named BASELINE benchmark preset (see PRESETS)."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    env_yaml = os.path.join(_CFG_DIR, "env_config", PRESETS[name])
+    return load(overrides=overrides, env_yaml=env_yaml)
 
 
 def load(overrides: Optional[Dict[str, Any]] = None, **paths) -> Tuple[Dict[str, Any], EnvConfig, MAPPOConfig]:
