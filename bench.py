@@ -29,9 +29,18 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # Mixed precision (bf16 trunk matmuls on the MXU, f32 master weights /
+    # losses) is the production default on TPU; BENCH_DTYPE=float32 measures
+    # the bit-parity configuration.
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     env_cfg = EnvConfig()
-    cfg = MAPPOConfig(n_rollout_threads=n_envs, episode_length=T, use_remat=remat)
+    cfg = MAPPOConfig(
+        n_rollout_threads=n_envs,
+        episode_length=T,
+        use_remat=remat,
+        compute_dtype=dtype,
+    )
     algo = MAPPO(cfg, env_cfg)
     ts = algo.init_state(jax.random.PRNGKey(0))
 

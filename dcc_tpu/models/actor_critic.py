@@ -103,7 +103,9 @@ class Actor(_Trunk):
             )
 
     def _head(self, x):
-        out = self.act_out(x)
+        # Distribution math stays float32 regardless of the trunk's compute
+        # dtype (mixed precision: bf16 matmuls, f32 log-probs/entropy).
+        out = self.act_out(x).astype(jnp.float32)
         if self.discrete:
             return out
         return (out, self.log_std)
@@ -135,8 +137,9 @@ class Critic(_Trunk):
 
     def __call__(self, cent_obs, rnn_state=None, masks=None):
         x, rnn_state = self.features(cent_obs, rnn_state, masks)
-        return self.v_out(x), rnn_state
+        # value targets / GAE stay float32 (see Actor._head)
+        return self.v_out(x).astype(jnp.float32), rnn_state
 
     def sequence(self, cent_obs_seq, h0=None, masks_seq=None):
         x, h = self.features_seq(cent_obs_seq, h0, masks_seq)
-        return self.v_out(x), h
+        return self.v_out(x).astype(jnp.float32), h

@@ -248,3 +248,52 @@ def test_discrete_env_decode():
     np.testing.assert_allclose(v[1], [-0.5, 0.0], atol=1e-6)  # -x
     np.testing.assert_allclose(v[2], [0.0, -0.5], atol=1e-6)  # -y
     np.testing.assert_allclose(v[3], [0.0, 0.5], atol=1e-6)   # +y
+
+
+def test_bfloat16_compute_path():
+    """compute_dtype="bfloat16": trunk matmuls in bf16, params/optimizer/
+    distribution/loss math float32; training stays finite and close to the
+    f32 run at init (heads cast back to f32, models/actor_critic.py)."""
+    algo_bf = _small_algo(compute_dtype="bfloat16")
+    algo_f32 = _small_algo()
+    ts = algo_f32.init_state(jax.random.PRNGKey(0))
+    ts_bf = algo_bf.init_state(jax.random.PRNGKey(0))
+    # same param pytree (init is f32 in both; dtype only affects compute)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts.actor_params, ts_bf.actor_params,
+    )
+    obs = jnp.ones((8, 110), jnp.float32)
+    (mean_bf, _), _ = algo_bf.actor.apply(ts.actor_params, obs)
+    (mean_f, _), _ = algo_f32.actor.apply(ts.actor_params, obs)
+    assert mean_bf.dtype == jnp.float32  # head casts back to f32
+    np.testing.assert_allclose(
+        np.asarray(mean_bf), np.asarray(mean_f), atol=2e-2
+    )
+    v = algo_bf.value(ts.critic_params, jnp.ones((8, 440), jnp.float32))
+    assert v.dtype == jnp.float32
+    ts2, m = jax.jit(algo_bf.train_iteration)(ts_bf, jax.random.PRNGKey(1))
+    for f in m:
+        assert np.isfinite(float(f))
+    # params stay float32 master weights
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(ts2.actor_params)
+    )
+
+
+def test_bfloat16_learns():
+    """Short CPU learning run under bf16 compute: coverage improves."""
+    cfg = MAPPOConfig(
+        n_rollout_threads=8, episode_length=40, ppo_epoch=5, n_iters=30,
+        compute_dtype="bfloat16",
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    train = jax.jit(algo.train_iteration)
+    first = None
+    for i in range(12):
+        ts, m = train(ts, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        if first is None:
+            first = float(m.reward)
+    assert float(m.reward) > first
