@@ -1,0 +1,116 @@
+"""Run dcc_tpu's FULL training loop on the reference's default config and
+record its learning curve (per-iteration reward + coverage_rate + losses).
+
+The dcc_tpu half of the north-star parity artifact (BASELINE.md "Fidelity"
+row): `scripts/run_reference_curve.py` records the torch reference's curves
+(200 iters x 150 steps x 16 envs, shared MAPPO, seeds 0-2); this script
+records ours under the *same run shape* so the two can be overlaid and
+band-checked (`scripts/plot_curves.py`, `tests/test_curve_parity.py`).
+
+The metric definitions match the reference's Learner exactly
+(``/root/reference/uav_dcc_control/learner.py:191-193,211-214``):
+reward = sum over steps of the mean per-env team reward, coverage_rate =
+mean over envs of the max coverage over the episode.
+
+Usage: python scripts/run_dcc_curve.py SEED [OUT_DIR]
+Writes OUT_DIR/dcc_tpu_seed{SEED}.json with per-iter series.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+from dcc_tpu.algos import MAPPO  # noqa: E402
+from dcc_tpu.configs.loader import load as load_config  # noqa: E402
+
+
+def main():
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, "benchmarks", "learning_curves")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    overrides = {"seed": seed}
+    if os.environ.get("DCC_CURVE_ITERS"):  # smoke-test hook
+        overrides["n_iters"] = int(os.environ["DCC_CURVE_ITERS"])
+    cfg, env_cfg, algo_cfg = load_config(overrides)
+    n_iters = int(cfg["n_iters"])
+
+    algo = MAPPO(algo_cfg, env_cfg)
+    key = jax.random.PRNGKey(seed)
+    ts = algo.init_state(key)
+    base_key = jax.random.fold_in(key, 7)
+
+    @jax.jit
+    def train(ts, base_key):
+        k = jax.random.fold_in(base_key, ts.iteration)
+        return algo.train_iteration(ts, k)
+
+    series = {
+        "reward": [],
+        "coverage_rate": [],
+        "value_loss": [],
+        "policy_loss": [],
+        "dist_entropy": [],
+        "ratio": [],
+        "iter_time_s": [],
+    }
+    t_start = time.time()
+    for iter_ in range(1, n_iters + 1):
+        t0 = time.time()
+        ts, m = train(ts, base_key)
+        m = jax.block_until_ready(m)
+        dt = time.time() - t0
+        series["reward"].append(float(m.reward))
+        series["coverage_rate"].append(float(m.coverage_rate))
+        series["value_loss"].append(float(m.value_loss))
+        series["policy_loss"].append(float(m.policy_loss))
+        series["dist_entropy"].append(float(m.dist_entropy))
+        series["ratio"].append(float(m.ratio))
+        series["iter_time_s"].append(round(dt, 4))
+        if iter_ % 10 == 0 or iter_ == 1:
+            print(
+                f"[dcc sd{seed}] iter {iter_}/{n_iters} "
+                f"reward {series['reward'][-1]:.1f} "
+                f"coverage {series['coverage_rate'][-1]:.3f} ({dt:.2f}s/iter)",
+                flush=True,
+            )
+        if iter_ % 10 == 0 or iter_ == n_iters:
+            _dump(out_dir, seed, cfg, series, time.time() - t_start)
+
+    _dump(out_dir, seed, cfg, series, time.time() - t_start)
+    print(f"[dcc sd{seed}] done in {time.time() - t_start:.0f}s", flush=True)
+
+
+def _dump(out_dir, seed, cfg, series, elapsed):
+    payload = {
+        "system": f"dcc_tpu (jax, vmap x{cfg['n_rollout_threads']}, "
+        f"{jax.default_backend()})",
+        "seed": seed,
+        "n_iters": int(cfg["n_iters"]),
+        "n_rollout_threads": int(cfg["n_rollout_threads"]),
+        "max_ep_len": int(cfg["max_ep_len"]),
+        "elapsed_s": round(elapsed, 1),
+        "series": series,
+    }
+    path = os.path.join(out_dir, f"dcc_tpu_seed{seed}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+if __name__ == "__main__":
+    main()
+    # interpreter teardown with the axon TPU plugin can hang; all artifacts
+    # are already flushed to disk at this point
+    os._exit(0)

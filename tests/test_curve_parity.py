@@ -1,0 +1,73 @@
+"""North-star learning-curve parity check (BASELINE.md "Fidelity" row).
+
+Reads the committed benchmark artifacts in benchmarks/learning_curves/
+(reference_seed*.json from scripts/run_reference_curve.py — the actual
+torch reference driven end-to-end on CPU; dcc_tpu_seed*.json from
+scripts/run_dcc_curve.py — this framework on the same 200x150x16 run
+shape) and asserts the final-coverage distributions overlap.
+
+Regenerate with:
+    python scripts/run_reference_curve.py SEED
+    python scripts/run_dcc_curve.py SEED
+    python scripts/plot_curves.py
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+CURVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchmarks",
+    "learning_curves",
+)
+
+
+def _final_coverages(system, last=20, min_iters=200):
+    out = {}
+    for p in sorted(glob.glob(os.path.join(CURVE_DIR, f"{system}_seed*.json"))):
+        d = json.load(open(p))
+        cov = np.asarray(d["series"]["coverage_rate"], dtype=float)
+        if len(cov) >= min_iters:  # ignore partial runs
+            out[d["seed"]] = float(cov[-last:].mean())
+    return out
+
+
+@pytest.fixture(scope="module")
+def curves():
+    ref = _final_coverages("reference")
+    dcc = _final_coverages("dcc_tpu")
+    if len(ref) < 3 or len(dcc) < 3:
+        pytest.skip("learning-curve artifacts not present (regenerate, see module docstring)")
+    return ref, dcc
+
+
+def test_artifacts_cover_full_runs(curves):
+    ref, dcc = curves
+    assert len(ref) >= 3 and len(dcc) >= 3
+
+
+def test_both_systems_learn(curves):
+    """Both systems end far above the untrained ~0.2-0.3 coverage floor."""
+    ref, dcc = curves
+    assert min(ref.values()) > 0.5
+    assert min(dcc.values()) > 0.5
+
+
+def test_final_coverage_within_seed_variance(curves):
+    """dcc_tpu's final-coverage distribution overlaps the reference's:
+    each system's mean lies inside the other's seed range (+/- a small
+    margin for finite seeds). The reference's own seeds span a wide band
+    (its seed 3 converges near 0.65 while seeds 0-2 sit at 0.83-0.86), so
+    range-overlap is the meaningful test, not mean equality."""
+    ref, dcc = curves
+    margin = 0.05
+    r = np.array(list(ref.values()))
+    d = np.array(list(dcc.values()))
+    assert r.min() - margin <= d.mean() <= r.max() + margin, (ref, dcc)
+    assert d.min() - margin <= r.mean() <= d.max() + margin, (ref, dcc)
+    # and the means themselves are close on an absolute scale
+    assert abs(d.mean() - r.mean()) < 0.12, (d.mean(), r.mean())
