@@ -103,9 +103,11 @@ class MAPPOConfig(NamedTuple):
     gae_backend: str = "auto"
     # Network compute dtype: "float32" (default, bit-parity with the
     # reference) or "bfloat16" — mixed precision: parameters/optimizer/
-    # distribution/loss math stay float32, the MLP/GRU trunk matmuls run in
+    # distribution/loss math stay float32, the MLP trunk matmuls run in
     # bfloat16 on the MXU (outputs are cast back to f32 at the heads,
-    # models/actor_critic.py). ~2-4x faster PPO updates at scale.
+    # models/actor_critic.py). Recurrent mode keeps the GRU in float32 (its
+    # hidden-state carry is f32; only the MLP base below it runs bf16).
+    # ~2-4x faster PPO updates at scale.
     compute_dtype: str = "float32"
     # Rematerialize the PPO-loss forward passes (jax.checkpoint): XLA stores
     # no trunk activations for the (T*E*A)-row minibatch and recomputes them
@@ -134,11 +136,22 @@ class Trajectory(NamedTuple):
 
     obs: jax.Array  # (T+1, E, A, D)
     actions: jax.Array  # (T, E, A, act)
-    log_probs: jax.Array  # (T, E, A, 1)
+    log_probs: jax.Array  # (T, E, A, 1); (T, E, A, branches) for multi_discrete
     values: jax.Array  # (T+1, E, 1) shared policy; (T+1, E, A, 1) separated
     rewards: jax.Array  # (T, E, 1)
     masks: jax.Array  # (T+1, E, 1)
     coverage: jax.Array  # (T, E)
+    # pre-step hidden states, recorded only for recurrent policies — the
+    # analog of the buffer's rnn_states/rnn_states_critic rows
+    # (shared_buffer.py:52-57) consumed as chunk warm starts by the
+    # recurrent generator (shared_buffer.py:448-449)
+    actor_h: Optional[jax.Array] = None  # (T, E, A, rec_n, H)
+    critic_h: Optional[jax.Array] = None  # (T, E, rec_n, H)
+    # bad_masks[t+1]=0 marks a time-limit truncation at step t (a boundary
+    # that is NOT a real termination) — the reference's bad_masks rows
+    # (shared_buffer.py:59-61), consumed by the use_proper_time_limits GAE
+    # branches (shared_buffer.py:165-198). All ones without env time limits.
+    bad_masks: Optional[jax.Array] = None  # (T+1, E, 1)
 
 
 class Metrics(NamedTuple):
@@ -170,18 +183,40 @@ class MAPPO:
     pjit-sharded over an env-axis mesh) as a whole.
     """
 
-    def __init__(self, cfg: MAPPOConfig, env_cfg: EnvConfig, mesh=None):
+    def __init__(
+        self, cfg: MAPPOConfig, env_cfg: EnvConfig, mesh=None, scenario: str = "coverage"
+    ):
         if cfg.use_popart and cfg.use_valuenorm:
             raise ValueError("use_popart and use_valuenorm are mutually exclusive")
         self.cfg = cfg
         self.env_cfg = env_cfg
         self.mesh = mesh  # optional jax.sharding.Mesh with a data (env) axis
+        # scenario dispatch (the yaml scenario_name key routed through the
+        # registry — the reference's scenarios.load by-name mechanism,
+        # scenarios/__init__.py:5-7)
+        self.scenario = scenario
+        if scenario == "coverage":
+            self._reset_batch, self._step_batch = reset_batch, step_batch
+            self._obs_fn = observation
+        else:
+            from ..envs import get_scenario
+            from ..envs.vector import make_vec_fns
+
+            self._reset_batch, self._step_batch = make_vec_fns(scenario)
+            self._obs_fn = get_scenario(scenario)["observation"]
         if cfg.compute_dtype in ("bfloat16", "bf16"):
             net_dtype = jnp.bfloat16
         elif cfg.compute_dtype in ("float32", "fp32", "f32"):
             net_dtype = None
         else:
             raise ValueError(f"unknown compute_dtype {cfg.compute_dtype!r}")
+        # rank-3 observation -> CNN trunk for the actor (the reference's
+        # obs-shape dispatch, r_actor_critic.py:33); the critic stays MLP
+        # because share_obs is always the flat concat (uav_dcc.py:40-43)
+        self._obs_shape = tuple(
+            getattr(env_cfg, "obs_shape", (env_cfg.obs_dim,))
+        )
+        use_cnn = len(self._obs_shape) == 3
         net_kwargs = dict(
             hidden_size=cfg.hidden_size,
             layer_n=cfg.layer_n,
@@ -192,12 +227,25 @@ class MAPPO:
             recurrent_n=cfg.recurrent_n,
             dtype=net_dtype,
         )
-        self._discrete = env_cfg.discrete_actions
+        actor_net_kwargs = dict(net_kwargs, use_cnn=use_cnn)
+        # ACTLayer dispatch (act.py:19-41): the env config describes its
+        # action-space kind; gaussian/categorical remain the fast paths and
+        # multi_discrete / multi_binary / mixed route through the same head
+        # machinery (models/actor_critic.Actor + distributions.sample_head)
+        self._head_kind = getattr(
+            env_cfg,
+            "action_head_kind",
+            "categorical" if env_cfg.discrete_actions else "gaussian",
+        )
+        self._head_dims = tuple(getattr(env_cfg, "action_head_dims", ()))
+        self._discrete = self._head_kind == "categorical"
         self.actor = Actor(
             action_dim=env_cfg.action_dim,
             discrete=self._discrete,
+            head_kind=self._head_kind,
+            head_dims=self._head_dims,
             gain=cfg.gain,
-            **net_kwargs,
+            **actor_net_kwargs,
         )
         self.critic = Critic(**net_kwargs)
         self.obs_dim = env_cfg.obs_dim
@@ -205,10 +253,15 @@ class MAPPO:
             env_cfg.share_obs_dim if cfg.use_centralized_v else env_cfg.obs_dim
         )
         self._recurrent = cfg.use_recurrent_policy or cfg.use_naive_recurrent
-        if self._recurrent and cfg.num_mini_batch != 1:
-            raise NotImplementedError(
-                "recurrent policies currently support num_mini_batch=1 "
-                "(full-sequence naive-recurrent evaluation)"
+        if cfg.use_recurrent_policy and cfg.episode_length % cfg.data_chunk_length:
+            # the reference's recurrent_generator silently lets chunks
+            # straddle (env, agent) sequence boundaries when T % L != 0
+            # (shared_buffer.py:390-391 floors; never triggered with its
+            # T=150, L=10). Warm-starting across sequences is wrong, so we
+            # require divisibility instead of replicating the latent bug.
+            raise ValueError(
+                f"episode_length ({cfg.episode_length}) must be divisible by "
+                f"data_chunk_length ({cfg.data_chunk_length})"
             )
         self._sep = not cfg.share_policy
         if self._sep and (self._recurrent or cfg.num_mini_batch != 1 or cfg.use_popart):
@@ -254,7 +307,7 @@ class MAPPO:
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
         k_a, k_c = jax.random.split(key)
-        dummy_obs = jnp.zeros((1, self.obs_dim), jnp.float32)
+        dummy_obs = jnp.zeros((1, *self._obs_shape), jnp.float32)
         dummy_cent = jnp.zeros((1, self.cent_obs_dim), jnp.float32)
         if self._recurrent:
             h = jnp.zeros((1, self.cfg.recurrent_n, self.cfg.hidden_size))
@@ -309,40 +362,20 @@ class MAPPO:
         rnn_state=None,
         masks=None,
     ):
-        """obs: (..., D) -> (action (..., act), log_prob (..., 1)[, h'])."""
+        """obs: (..., D) -> (action (..., act), log_prob (..., k)[, h']).
+        k = 1 for every head except multi_discrete (per-branch columns,
+        act.py:68-79)."""
         out, h = self.actor.apply(actor_params, obs, rnn_state, masks)
-        if self._discrete:
-            logits = out
-            if deterministic:
-                action = D.categorical_mode(logits)
-            else:
-                action = D.categorical_sample(key, logits)
-            logp = D.categorical_log_prob(logits, action)
-        else:
-            mean, log_std = out
-            if deterministic:
-                action = D.normal_mode(mean)
-            else:
-                action = D.normal_sample(key, mean, log_std)
-            logp = D.normal_log_prob(mean, log_std, action)
+        action, logp = D.sample_head(key, self._head_kind, out, deterministic)
         if rnn_state is None:
             return action, logp
         return action, logp, h
 
     def _eval_dist(self, out, action):
         """Evaluate actions under the actor head output: returns
-        (log_prob (..., 1), per-sample entropy (..., k)) -- the ACTLayer
-        evaluate_actions dispatch (act.py:118-194) for Box/Discrete heads."""
-        if self._discrete:
-            logits = out
-            lp = D.categorical_log_prob(logits, action)
-            ent = D.categorical_entropy(logits)[..., None]
-            return lp, ent
-        mean, log_std = out
-        return (
-            D.normal_log_prob(mean, log_std, action),
-            D.normal_entropy(log_std, mean),
-        )
+        (log_prob (..., k), per-sample entropy (..., j)) -- the ACTLayer
+        evaluate_actions dispatch (act.py:118-194) for every head kind."""
+        return D.evaluate_head(self._head_kind, out, action)
 
     def value(self, critic_params, cent_obs, rnn_state=None, masks=None):
         v, h = self.critic.apply(critic_params, cent_obs, rnn_state, masks)
@@ -376,9 +409,9 @@ class MAPPO:
         n_agents = env_cfg.n_agents
         T = cfg.episode_length
         key, k_reset = jax.random.split(key)
-        states = reset_batch(env_cfg, k_reset, n_envs)
+        states = self._reset_batch(env_cfg, k_reset, n_envs)
         states = _mesh.constrain(states, self.mesh, 0)  # shard envs over 'data'
-        obs0 = jax.vmap(lambda s: observation(env_cfg, s))(states)
+        obs0 = jax.vmap(lambda s: self._obs_fn(env_cfg, s))(states)
         L, H = self.cfg.recurrent_n, self.cfg.hidden_size
         if self._recurrent:
             h_actor0 = jnp.zeros((n_envs * n_agents, L, H), jnp.float32)
@@ -390,8 +423,17 @@ class MAPPO:
         def body(carry, _):
             states, obs, key, h_a, h_c, mask = carry
             key, k_act = jax.random.split(key)
+            # pre-step hidden states (post-act of the previous step, not yet
+            # mask-reset): the chunk warm-start rows the recurrent generator
+            # gathers (shared_buffer.py:448-449 uses rnn_states[ind], the
+            # state *entering* step ind)
+            if self._recurrent:
+                h_a_pre = h_a.reshape(n_envs, n_agents, L, H)
+                h_c_pre = h_c
+            else:
+                h_a_pre = h_c_pre = None
             # decentralized actors on (E*A, D)
-            flat_obs = obs.reshape(n_envs * n_agents, -1)
+            flat_obs = obs.reshape(n_envs * n_agents, *self._obs_shape)
             cent = obs.reshape(n_envs, -1)
             if self._recurrent:
                 agent_mask = jnp.broadcast_to(
@@ -416,9 +458,11 @@ class MAPPO:
                 action, logp = self.act(ts.actor_params, k_act, flat_obs, deterministic)
                 v = self.value(ts.critic_params, cent)  # (E, 1)
             action = action.reshape(n_envs, n_agents, -1)
-            logp = logp.reshape(n_envs, n_agents, 1)
-            new_states, out = step_batch(env_cfg, states, action)
-            mask_next = 1.0 - out.done.astype(jnp.float32)[:, None]
+            logp = logp.reshape(n_envs, n_agents, -1)
+            new_states, out = self._step_batch(env_cfg, states, action)
+            boundary = out.done | out.truncated
+            mask_next = 1.0 - boundary.astype(jnp.float32)[:, None]
+            bad_mask_next = 1.0 - out.truncated.astype(jnp.float32)[:, None]
             ys = (
                 obs,
                 action,
@@ -427,12 +471,15 @@ class MAPPO:
                 out.reward[:, None],
                 mask_next,
                 out.coverage_rate,
+                h_a_pre,
+                h_c_pre,
+                bad_mask_next,
             )
             return (new_states, out.obs, key, h_a, h_c, mask_next), ys
 
         (
             (states, obs_T, _, h_aT, h_cT, mask_T),
-            (obs, actions, logps, values, rewards, masks, cover),
+            (obs, actions, logps, values, rewards, masks, cover, h_as, h_cs, bad_masks),
         ) = jax.lax.scan(
             body, (states, obs0, key, h_actor0, h_critic0, mask0), None, length=T
         )
@@ -455,6 +502,9 @@ class MAPPO:
             rewards=rewards,
             masks=jnp.concatenate([mask0[None], masks], axis=0),
             coverage=cover,
+            actor_h=h_as,
+            critic_h=h_cs,
+            bad_masks=jnp.concatenate([mask0[None], bad_masks], axis=0),
         )
 
     # ------------------------------------------------------------------
@@ -465,23 +515,38 @@ class MAPPO:
         bootstrapping, shared_buffer.py:199-213)."""
         cfg = self.cfg
         values = self._denorm(ts, traj.values)
+        bad_masks = traj.bad_masks if cfg.use_proper_time_limits else None
         if cfg.use_gae:
             # "auto": fused Pallas kernel on a single TPU chip; under a
             # multi-device GSPMD mesh stay with lax.scan (an opaque custom
             # call would force XLA to gather the env-sharded trajectory).
+            # The bad_masks variant stays on the scan path.
             single_dev = self.mesh is None or self.mesh.devices.size == 1
-            use_pallas = cfg.gae_backend == "pallas" or (
-                cfg.gae_backend == "auto"
-                and single_dev
-                and jax.default_backend() in ("tpu", "axon")
+            use_pallas = bad_masks is None and (
+                cfg.gae_backend == "pallas"
+                or (
+                    cfg.gae_backend == "auto"
+                    and single_dev
+                    and jax.default_backend() in ("tpu", "axon")
+                )
             )
             gae_fn = compute_gae_pallas if use_pallas else compute_gae
             adv, returns = gae_fn(
-                traj.rewards, values, traj.masks, cfg.gamma, cfg.gae_lambda
+                traj.rewards,
+                values,
+                traj.masks,
+                cfg.gamma,
+                cfg.gae_lambda,
+                **({} if bad_masks is None else {"bad_masks": bad_masks}),
             )
         else:
             returns = discounted_returns(
-                traj.rewards, values[-1], traj.masks, cfg.gamma
+                traj.rewards,
+                values[-1],
+                traj.masks,
+                cfg.gamma,
+                bad_masks=bad_masks,
+                values=values[:-1] if bad_masks is not None else None,
             )
             adv = returns - values[:-1]
         return adv, returns
@@ -600,6 +665,197 @@ class MAPPO:
         )
         return ts, ms.mean(axis=0)
 
+    def _update_recurrent(
+        self, ts: TrainState, key: jax.Array, traj: Trajectory, adv_n, returns
+    ):
+        """Recurrent PPO updates over data_chunk_length chunks with
+        hidden-state warm starts — the reference's ``recurrent_generator``
+        (``shared_buffer.py:378-487``): trajectories flattened in
+        (env, agent, time) order, cut into L-step chunks, each chunk's GRU
+        warm-started from the rollout-time hidden state at its first step
+        (``shared_buffer.py:448-449``), minibatches drawn as random chunk
+        subsets. ``use_naive_recurrent`` is the L=T special case
+        (``naive_recurrent_generator``, ``shared_buffer.py:283-377``: full
+        sequences from the stored t=0 state, which is zeros after a fresh
+        reset). Critic rows are the per-agent duplicated env rows, exactly
+        like the reference's shared buffer."""
+        cfg = self.cfg
+        T, E, A, _ = traj.actions.shape
+        L = cfg.data_chunk_length if cfg.use_recurrent_policy else T
+        n_chunks = T // L  # divisibility validated in __init__
+        C = E * A * n_chunks
+        if C < cfg.num_mini_batch:
+            raise ValueError(
+                f"num_mini_batch ({cfg.num_mini_batch}) exceeds the number "
+                f"of data chunks ({C})"
+            )
+        mb = C // cfg.num_mini_batch
+
+        def chunks(x):
+            """(T, E, A, ...) -> (C, L, ...) in (env, agent, time) order
+            (the reference's _cast transpose, shared_buffer.py:398-403)."""
+            x = jnp.moveaxis(x, 0, 2)  # (E, A, T, ...)
+            return x.reshape(C, L, *x.shape[3:])
+
+        per_agent = lambda x: jnp.broadcast_to(
+            x[:, :, None], (T, E, A) + x.shape[2:]
+        )
+        cent = traj.obs[:-1].reshape(T, E, A * self.obs_dim)
+
+        obs_c = chunks(traj.obs[:-1])
+        act_c = chunks(traj.actions)
+        logp_c = chunks(traj.log_probs)
+        adv_c = chunks(per_agent(adv_n))
+        cent_c = chunks(per_agent(cent))
+        vpred_c = chunks(per_agent(traj.values[:-1]))
+        ret_c = chunks(per_agent(returns))
+        mask_c = chunks(per_agent(traj.masks[:-1]))
+        # warm-start hidden states at chunk firsts: (C, rec_n, H)
+        h_a0 = jnp.moveaxis(traj.actor_h, 0, 2)[:, :, ::L].reshape(
+            C, cfg.recurrent_n, cfg.hidden_size
+        )
+        h_c0 = jnp.moveaxis(per_agent(traj.critic_h), 0, 2)[:, :, ::L].reshape(
+            C, cfg.recurrent_n, cfg.hidden_size
+        )
+
+        def minibatch_update(carry, mb_data):
+            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+            obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b, ha_b, hc_b = (
+                mb_data
+            )
+
+            if cfg.use_valuenorm:
+                vnorm = VN.update(vnorm, ret_b)
+                ret_target = VN.normalize(vnorm, ret_b)
+            elif cfg.use_popart:
+                kernel = critic_params["params"]["v_out"]["kernel"]
+                bias = critic_params["params"]["v_out"]["bias"]
+                popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
+                new_head = {
+                    **critic_params["params"]["v_out"],
+                    "kernel": kernel,
+                    "bias": bias,
+                }
+                critic_params = {
+                    **critic_params,
+                    "params": {**critic_params["params"], "v_out": new_head},
+                }
+                ret_target = PA.normalize(popart, ret_b)
+            else:
+                ret_target = ret_b
+
+            def loss_fn(a_params, c_params):
+                out, _ = self.actor.apply(
+                    a_params, obs_b, ha_b, mask_b, method="sequence"
+                )
+                new_logp, ent = self._eval_dist(out, act_b)
+                dist_entropy = ent.sum(-1).mean()
+                ratio = jnp.exp(new_logp - logp_b)
+                surr1 = ratio * adv_b
+                surr2 = (
+                    jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+                    * adv_b
+                )
+                policy_loss = -jnp.sum(
+                    jnp.minimum(surr1, surr2), axis=-1, keepdims=True
+                ).mean()
+                values, _ = self.critic.apply(
+                    c_params, cent_b, hc_b, mask_b, method="sequence"
+                )
+                v_clip = vpred_b + jnp.clip(
+                    values - vpred_b, -cfg.clip_param, cfg.clip_param
+                )
+                err = ret_target - values
+                err_c = ret_target - v_clip
+                lf = (
+                    (lambda e: _huber(e, cfg.huber_delta))
+                    if cfg.use_huber_loss
+                    else _mse
+                )
+                vl = (
+                    jnp.maximum(lf(err), lf(err_c))
+                    if cfg.use_clipped_value_loss
+                    else lf(err)
+                )
+                value_loss = vl.mean()
+                total = (
+                    policy_loss
+                    - dist_entropy * cfg.entropy_coef
+                    + value_loss * cfg.value_loss_coef
+                )
+                return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
+
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(actor_params, critic_params)
+            a_grads, c_grads = grads
+            a_norm = optax.global_norm(a_grads)
+            c_norm = optax.global_norm(c_grads)
+            a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+            actor_params = optax.apply_updates(actor_params, a_updates)
+            c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+            critic_params = optax.apply_updates(critic_params, c_updates)
+            policy_loss, value_loss, dist_entropy, ratio = aux
+            metrics = jnp.stack(
+                [value_loss, policy_loss, dist_entropy, a_norm, c_norm, ratio]
+            )
+            return (
+                actor_params,
+                critic_params,
+                a_opt,
+                c_opt,
+                vnorm,
+                popart,
+                count + 1,
+            ), metrics
+
+        def epoch(carry, key_e):
+            perm = jax.random.permutation(key_e, C)[: mb * cfg.num_mini_batch]
+            perm = perm.reshape(cfg.num_mini_batch, mb)
+
+            def inner(carry, idx):
+                # gather chunk minibatch, time-major for the sequence apply
+                tm = lambda x: jnp.swapaxes(x[idx], 0, 1)  # (L, mb, ...)
+                mb_data = (
+                    tm(obs_c),
+                    tm(act_c),
+                    tm(logp_c),
+                    tm(adv_c),
+                    tm(cent_c),
+                    tm(vpred_c),
+                    tm(ret_c),
+                    tm(mask_c),
+                    h_a0[idx],
+                    h_c0[idx],
+                )
+                return minibatch_update(carry, mb_data)
+
+            return jax.lax.scan(inner, carry, perm)
+
+        keys = jax.random.split(key, cfg.ppo_epoch)
+        carry = (
+            ts.actor_params,
+            ts.critic_params,
+            ts.actor_opt,
+            ts.critic_opt,
+            ts.vnorm,
+            ts.popart,
+            ts.update_count,
+        )
+        carry, metrics = jax.lax.scan(epoch, carry, keys)
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        ts = ts.replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=a_opt,
+            critic_opt=c_opt,
+            vnorm=vnorm,
+            popart=popart,
+            update_count=count,
+            iteration=ts.iteration + 1,
+        )
+        return ts, metrics.reshape(-1, 6).mean(axis=0)
+
     def update(self, ts: TrainState, key: jax.Array, traj: Trajectory, adv, returns):
         """The epoch/minibatch PPO loop as a lax.scan (MAPPOTrainer.train,
         mappo.py:189-227)."""
@@ -614,13 +870,18 @@ class MAPPO:
         adv_std = adv.std()
         adv_n = (adv - adv_mean) / (adv_std + 1e-5)
 
+        if self._recurrent:
+            return self._update_recurrent(ts, key, traj, adv_n, returns)
+
         # Under bf16 compute, store the network inputs (the dominant HBM
-        # traffic — re-read every epoch) in bf16 up front. Numerically
-        # identical to casting inside the first layer (which flax does
-        # anyway), but halves the bytes the 15-epoch loop streams.
+        # traffic — re-read every epoch) in bf16 up front. The only
+        # difference vs casting inside the first layer (which flax does
+        # anyway) is one extra bf16 rounding of the raw obs before the
+        # feature-norm statistics — well within bf16 compute noise — and it
+        # halves the bytes the 15-epoch loop streams.
         net_in = (
             (lambda x: x.astype(self._net_dtype))
-            if (self._net_dtype is not None and not self._recurrent)
+            if self._net_dtype is not None
             else (lambda x: x)
         )
         if cfg.num_mini_batch == 1:
@@ -641,19 +902,25 @@ class MAPPO:
             obs_rows = act_rows = logp_rows = adv_rows = None
             cent_rows = vpred_rows = ret_rows = None
         else:
-            # flatten: policy rows (T*E*A), value rows (T*E)
-            obs_rows = net_in(traj.obs[:-1].reshape(T * E * A, -1))
+            # flatten to (T*E*A) rows. The reference's feed_forward_generator
+            # flattens share_obs/value_preds/returns over the agent axis too
+            # and indexes EVERY field with the same permutation
+            # (shared_buffer.py:239-256), keeping actor and critic samples
+            # index-aligned per minibatch — so the critic rows here are the
+            # per-agent duplicated env rows, gathered by the same indices.
+            bcast = lambda x: jnp.broadcast_to(
+                x[:, :, None, :], (T, E, A, x.shape[-1])
+            ).reshape(T * E * A, x.shape[-1])
+            obs_rows = net_in(traj.obs[:-1].reshape(T * E * A, *self._obs_shape))
             act_rows = traj.actions.reshape(T * E * A, -1)
-            logp_rows = traj.log_probs.reshape(T * E * A, 1)
-            adv_rows = jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)).reshape(
-                T * E * A, 1
+            logp_rows = traj.log_probs.reshape(T * E * A, -1)
+            adv_rows = bcast(adv_n)
+            cent_rows = net_in(
+                bcast(traj.obs[:-1].reshape(T, E, A * self.obs_dim))
             )
-            cent_rows = net_in(traj.obs[:-1].reshape(T * E, A * self.obs_dim))
-            vpred_rows = traj.values[:-1].reshape(T * E, 1)
-            ret_rows = returns.reshape(T * E, 1)
-            mask_rows = jnp.broadcast_to(
-                traj.masks[:-1][:, :, None, :], (T, E, A, 1)
-            ).reshape(T * E * A, 1)
+            vpred_rows = bcast(traj.values[:-1])
+            ret_rows = bcast(returns)
+            mask_rows = bcast(traj.masks[:-1])
             batch = None
 
         def minibatch_update(carry, mb):
@@ -678,33 +945,12 @@ class MAPPO:
                 ret_target = ret_b
 
             def loss_fn(a_params, c_params):
-                if self._recurrent:
-                    # naive-recurrent evaluation: replay the full sequence
-                    # with mask resets from h0=0 (the rollout starts from a
-                    # fresh reset, learner.py:216-224); equivalent to the
-                    # reference's done-boundary chunking (rnn.py:31-77)
-                    Tb, Eb, Ab = obs_b.shape[:3]
-                    obs_seq = obs_b.reshape(Tb, Eb * Ab, -1)
-                    m_agent = jnp.broadcast_to(
-                        mask_b[:, :, None, :], (Tb, Eb, Ab, 1)
-                    ).reshape(Tb, Eb * Ab, 1)
-                    h0a = jnp.zeros(
-                        (Eb * Ab, cfg.recurrent_n, cfg.hidden_size), jnp.float32
-                    )
-                    out, _ = self.actor.apply(
-                        a_params, obs_seq, h0a, m_agent, method="sequence"
-                    )
-                    reshape = lambda x: x.reshape(Tb, Eb, Ab, -1)
-                    out = reshape(out) if self._discrete else (
-                        reshape(out[0]), out[1]
-                    )
+                if cfg.use_remat:
+                    out, _ = jax.checkpoint(
+                        lambda p, o: self.actor.apply(p, o)
+                    )(a_params, obs_b)
                 else:
-                    if cfg.use_remat:
-                        out, _ = jax.checkpoint(
-                            lambda p, o: self.actor.apply(p, o)
-                        )(a_params, obs_b)
-                    else:
-                        out, _ = self.actor.apply(a_params, obs_b)
+                    out, _ = self.actor.apply(a_params, obs_b)
                 new_logp, ent = self._eval_dist(out, act_b)
                 # all-ones active masks: mean over rows of per-dim sums
                 # (act.py:174-181)
@@ -719,15 +965,7 @@ class MAPPO:
                     jnp.minimum(surr1, surr2), axis=-1, keepdims=True
                 ).mean()
 
-                if self._recurrent:
-                    Tb, Eb = cent_b.shape[:2]
-                    h0c = jnp.zeros(
-                        (Eb, cfg.recurrent_n, cfg.hidden_size), jnp.float32
-                    )
-                    values, _ = self.critic.apply(
-                        c_params, cent_b, h0c, mask_b, method="sequence"
-                    )
-                elif cfg.use_remat:
+                if cfg.use_remat:
                     values = jax.checkpoint(self.value)(c_params, cent_b)
                 else:
                     values = self.value(c_params, cent_b)
@@ -775,34 +1013,27 @@ class MAPPO:
             if cfg.num_mini_batch == 1:
                 carry, m = minibatch_update(carry, batch)
                 return carry, m[None]
+            # one permutation of the T*E*A rows per epoch, shared by every
+            # field (actor AND critic sides) — shared_buffer.py:239-256
             B = T * E * A
-            Bv = T * E
             mb = B // cfg.num_mini_batch
-            mbv = Bv // cfg.num_mini_batch
             perm = jax.random.permutation(key_e, B)[: mb * cfg.num_mini_batch]
             perm = perm.reshape(cfg.num_mini_batch, mb)
-            # value-side rows permuted consistently per agent-block: use an
-            # independent permutation of env-step rows (order within a
-            # minibatch does not affect the reductions)
-            perm_v = jax.random.permutation(
-                jax.random.fold_in(key_e, 1), Bv
-            )[: mbv * cfg.num_mini_batch].reshape(cfg.num_mini_batch, mbv)
 
-            def inner(carry, idx):
-                ia, iv = idx
+            def inner(carry, ia):
                 mb_data = (
                     obs_rows[ia],
                     act_rows[ia],
                     logp_rows[ia],
                     adv_rows[ia],
-                    cent_rows[iv],
-                    vpred_rows[iv],
-                    ret_rows[iv],
+                    cent_rows[ia],
+                    vpred_rows[ia],
+                    ret_rows[ia],
                     mask_rows[ia],
                 )
                 return minibatch_update(carry, mb_data)
 
-            return jax.lax.scan(inner, carry, (perm, perm_v))
+            return jax.lax.scan(inner, carry, perm)
 
         keys = jax.random.split(key, cfg.ppo_epoch)
         carry = (

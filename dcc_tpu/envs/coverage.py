@@ -94,12 +94,24 @@ class EnvConfig(NamedTuple):
     # (environment.py:48-52: Discrete(2*dim_p+1); decode at :171-185):
     # actions are indices {0: noop, 1: -x, 2: +x, 3: -y, 4: +y}.
     discrete_actions: bool = False
+    # action_mode generalizes the action space across every ACTLayer branch
+    # (act.py:19-41): "" derives continuous/discrete from discrete_actions;
+    # "multi_discrete" = per-axis {-1,0,+1} forces (MultiDiscrete(3,3));
+    # "multi_binary" = 4 thruster bits (+x,-x,+y,-y); "mixed" = Box(2)
+    # force direction + Discrete(3) throttle scale {0.5, 1.0, 1.5}.
+    action_mode: str = ""
     # --- extensions beyond the reference (off by default) ---
     randomize_pois: bool = False
     poi_speed: float = 0.0
     collision_penalty: float = 0.0
     collision_radius: float = 0.08
     fix_scaled_connectivity: bool = False
+    # Truncate episodes at max_ep_len (a gym TimeLimit analog; the reference
+    # env never truncates — its episodes only end on the scenario done,
+    # scenarios/coverage.py:112-117). Truncations are reported separately
+    # from real dones so `use_proper_time_limits` GAE (bad_masks,
+    # shared_buffer.py:165-198) can stop credit across the boundary.
+    time_limit: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -110,9 +122,43 @@ class EnvConfig(NamedTuple):
         return self.n_agents * self.obs_dim
 
     @property
+    def resolved_action_mode(self) -> str:
+        if self.action_mode:
+            return self.action_mode
+        return "discrete" if self.discrete_actions else "continuous"
+
+    @property
     def action_dim(self) -> int:
-        """Continuous: force dims; discrete: number of actions."""
-        return 5 if self.discrete_actions else 2
+        """Width the policy head needs for single-head modes (continuous:
+        force dims; discrete: category count; multi_binary: bit count) and
+        the env-facing action width otherwise."""
+        return {
+            "continuous": 2,
+            "discrete": 5,
+            "multi_discrete": 2,  # two branch indices
+            "multi_binary": 4,
+            "mixed": 3,  # 2 continuous + 1 discrete index
+        }[self.resolved_action_mode]
+
+    @property
+    def action_head_kind(self) -> str:
+        """ACTLayer dispatch kind (models/actor_critic.Actor.head_kind)."""
+        return {
+            "continuous": "gaussian",
+            "discrete": "categorical",
+            "multi_discrete": "multi_discrete",
+            "multi_binary": "multi_binary",
+            "mixed": "mixed",
+        }[self.resolved_action_mode]
+
+    @property
+    def action_head_dims(self) -> tuple:
+        mode = self.resolved_action_mode
+        if mode == "multi_discrete":
+            return (3, 3)  # {-1, 0, +1} per axis
+        if mode == "mixed":
+            return (2, 3)  # Box(2) + Discrete(3)
+        return ()
 
     @property
     def effective_contact_force(self) -> float:
@@ -137,8 +183,9 @@ class EnvState:
 class StepOut(NamedTuple):
     obs: jax.Array  # (N, obs_dim)
     reward: jax.Array  # () shared team reward (every agent receives it)
-    done: jax.Array  # () bool episode termination
+    done: jax.Array  # () bool episode termination (real done, not truncation)
     coverage_rate: jax.Array  # ()
+    truncated: jax.Array = jnp.zeros((), bool)  # () time-limit truncation
 
 
 def default_poi_bank() -> np.ndarray:
@@ -333,12 +380,25 @@ def step(cfg: EnvConfig, state: EnvState, action: jax.Array) -> Tuple[EnvState, 
     """
     n, m = cfg.n_agents, cfg.n_pois
     dtype = state.pos.dtype
-    if cfg.discrete_actions:
+    mode = cfg.resolved_action_mode
+    if mode == "discrete":
         # index -> unit force decode (environment.py:171-176)
         table = jnp.asarray(
             [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]], dtype
         )
         action = table[jnp.asarray(action, jnp.int32).reshape(n)]
+    elif mode == "multi_discrete":
+        # per-axis branch index {0,1,2} -> force {-1,0,+1}
+        action = jnp.asarray(action, dtype).reshape(n, 2) - 1.0
+    elif mode == "multi_binary":
+        # thruster bits (+x,-x,+y,-y) -> net axis forces
+        b = jnp.asarray(action, dtype).reshape(n, 4)
+        action = jnp.stack([b[:, 0] - b[:, 1], b[:, 2] - b[:, 3]], axis=-1)
+    elif mode == "mixed":
+        # Box(2) direction scaled by Discrete(3) throttle {0.5, 1.0, 1.5}
+        a = jnp.asarray(action, dtype).reshape(n, 3)
+        throttle = 0.5 * (jnp.round(a[:, 2:3]) + 1.0)
+        action = a[:, :2] * throttle
     else:
         action = jnp.asarray(action, dtype)
 
@@ -395,6 +455,12 @@ def step(cfg: EnvConfig, state: EnvState, action: jax.Array) -> Tuple[EnvState, 
 
     # -- termination (scenarios/coverage.py:112-117)
     done = jnp.any(out_hard) | all_done
+    t_next = state.t + 1
+    truncated = (
+        (t_next >= cfg.max_ep_len) & ~done
+        if cfg.time_limit
+        else jnp.zeros((), bool)
+    )
 
     new_state = EnvState(
         pos=pos,
@@ -403,8 +469,14 @@ def step(cfg: EnvConfig, state: EnvState, action: jax.Array) -> Tuple[EnvState, 
         poi_vel=poi_vel,
         energy=energy,
         poi_done=poi_done,
-        t=state.t + 1,
+        t=t_next,
         key=state.key,
     )
     obs = observation(cfg, new_state)
-    return new_state, StepOut(obs=obs, reward=reward, done=done, coverage_rate=coverage_rate)
+    return new_state, StepOut(
+        obs=obs,
+        reward=reward,
+        done=done,
+        coverage_rate=coverage_rate,
+        truncated=truncated,
+    )

@@ -56,16 +56,23 @@ def step_batch(
     # module asset captured at trace time.
     bank = jnp.asarray(default_poi_bank(), dtype=states.pos.dtype)
     fresh = jax.vmap(lambda k: reset(cfg, k, bank, states.pos.dtype))(new_states.key)
-    done = out.done
+    # episode boundary = real done OR time-limit truncation (the gym
+    # TimeLimit analog; truncated is constant-false without cfg.time_limit)
+    boundary = out.done | out.truncated
 
     def pick(f, n):
-        mask = done.reshape((-1,) + (1,) * (n.ndim - 1))
+        mask = boundary.reshape((-1,) + (1,) * (n.ndim - 1))
         return jnp.where(mask, f, n)
 
     selected = jax.tree_util.tree_map(pick, fresh, new_states)
-    obs = jnp.where(done[:, None, None], jax.vmap(lambda s: _obs(cfg, s))(selected), out.obs)
+    obs_mask = boundary.reshape((-1,) + (1,) * (out.obs.ndim - 1))
+    obs = jnp.where(obs_mask, jax.vmap(lambda s: _obs(cfg, s))(selected), out.obs)
     return selected, StepOut(
-        obs=obs, reward=out.reward, done=done, coverage_rate=out.coverage_rate
+        obs=obs,
+        reward=out.reward,
+        done=out.done,
+        coverage_rate=out.coverage_rate,
+        truncated=out.truncated,
     )
 
 
@@ -82,3 +89,50 @@ def share_obs_from_obs(obs: jax.Array) -> jax.Array:
     *lead, n, d = obs.shape
     flat = obs.reshape(*lead, 1, n * d)
     return jnp.broadcast_to(flat, (*lead, n, n * d))
+
+
+def make_vec_fns(scenario: str = "coverage"):
+    """Build (reset_batch, step_batch) for a registered scenario — the
+    scenario-generic analog of the module-level coverage pair above (the
+    reference's ``MultiAgentEnv`` is likewise scenario-agnostic, its
+    callbacks resolved by name at construction, ``uav_dcc.py:21-37``).
+
+    Both closures have the same signatures and auto-reset semantics as the
+    coverage-specific pair; ``step_batch`` resets on done OR truncation.
+    """
+    from . import get_scenario
+
+    sc = get_scenario(scenario)
+    reset_fn, step_fn, obs_fn = sc["reset"], sc["step"], sc["observation"]
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def reset_batch_fn(cfg, key, n_envs):
+        keys = jax.random.split(key, n_envs)
+        return jax.vmap(lambda k: reset_fn(cfg, k))(keys)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def step_batch_fn(cfg, states, actions):
+        new_states, out = jax.vmap(step_fn, in_axes=(None, 0, 0))(
+            cfg, states, actions
+        )
+        fresh = jax.vmap(lambda k: reset_fn(cfg, k))(new_states.key)
+        boundary = out.done | out.truncated
+
+        def pick(f, n):
+            mask = boundary.reshape((-1,) + (1,) * (n.ndim - 1))
+            return jnp.where(mask, f, n)
+
+        selected = jax.tree_util.tree_map(pick, fresh, new_states)
+        obs_mask = boundary.reshape((-1,) + (1,) * (out.obs.ndim - 1))
+        obs = jnp.where(
+            obs_mask, jax.vmap(lambda s: obs_fn(cfg, s))(selected), out.obs
+        )
+        return selected, StepOut(
+            obs=obs,
+            reward=out.reward,
+            done=out.done,
+            coverage_rate=out.coverage_rate,
+            truncated=out.truncated,
+        )
+
+    return reset_batch_fn, step_batch_fn

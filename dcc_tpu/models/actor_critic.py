@@ -79,9 +79,33 @@ class _Trunk(nn.Module):
 
 
 class Actor(_Trunk):
+    """Trunk + action head. The head is the ACTLayer analog
+    (``act.py:19-41``): ``head_kind`` dispatches on the action-space class —
+
+    * ``gaussian`` (Box): Dense mean + state-independent log_std
+    * ``categorical`` (Discrete): Dense logits
+    * ``multi_discrete`` (MultiDiscrete): one Dense per branch,
+      ``head_dims`` = per-branch category counts
+    * ``multi_binary`` (MultiBinary): Dense Bernoulli logits
+    * ``mixed`` (Tuple[Box, Discrete]): gaussian + categorical heads,
+      ``head_dims`` = (continuous_dim, discrete_n)
+
+    When ``head_kind`` is empty it derives from the legacy ``discrete``
+    flag. Head outputs are consumed by
+    :func:`dcc_tpu.models.distributions.sample_head` / ``evaluate_head``.
+    """
+
     action_dim: int = 2
     discrete: bool = False
     gain: float = 0.01
+    head_kind: str = ""
+    head_dims: Tuple[int, ...] = ()
+
+    @property
+    def kind(self) -> str:
+        if self.head_kind:
+            return self.head_kind
+        return "categorical" if self.discrete else "gaussian"
 
     def setup(self):
         super().setup()
@@ -90,23 +114,45 @@ class Actor(_Trunk):
             if self.use_orthogonal
             else nn.initializers.xavier_uniform()
         )
-        self.act_out = nn.Dense(
-            self.action_dim,
+        dense = lambda n, name: nn.Dense(
+            n,
             kernel_init=head_init,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
-            name="act_out",
+            name=name,
         )
-        if not self.discrete:
+        kind = self.kind
+        if kind == "multi_discrete":
+            self.act_outs = [
+                dense(n, f"act_out{i}") for i, n in enumerate(self.head_dims)
+            ]
+        elif kind == "mixed":
+            cont_dim, disc_n = self.head_dims
+            self.act_out = dense(cont_dim, "act_out")
+            self.act_out_disc = dense(disc_n, "act_out_disc")
             self.log_std = self.param(
-                "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
+                "log_std", nn.initializers.zeros, (cont_dim,), jnp.float32
             )
+        else:
+            self.act_out = dense(self.action_dim, "act_out")
+            if kind == "gaussian":
+                self.log_std = self.param(
+                    "log_std", nn.initializers.zeros, (self.action_dim,), jnp.float32
+                )
 
     def _head(self, x):
         # Distribution math stays float32 regardless of the trunk's compute
         # dtype (mixed precision: bf16 matmuls, f32 log-probs/entropy).
+        kind = self.kind
+        if kind == "multi_discrete":
+            return tuple(h(x).astype(jnp.float32) for h in self.act_outs)
+        if kind == "mixed":
+            return (
+                (self.act_out(x).astype(jnp.float32), self.log_std),
+                self.act_out_disc(x).astype(jnp.float32),
+            )
         out = self.act_out(x).astype(jnp.float32)
-        if self.discrete:
+        if kind == "categorical" or kind == "multi_binary":
             return out
         return (out, self.log_std)
 

@@ -42,7 +42,7 @@ class CNNBase(nn.Module):
             dtype=self.dtype,
         )(x)
         x = act(x)
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(*x.shape[:-3], -1)  # flatten spatial dims, keep batch dims
         x = nn.Dense(self.hidden_size, kernel_init=kinit, dtype=self.dtype)(x)
         x = act(x)
         x = nn.Dense(self.hidden_size, kernel_init=kinit, dtype=self.dtype)(x)

@@ -63,14 +63,33 @@ def discounted_returns(
     next_value: jax.Array,
     masks: jax.Array,
     gamma: float,
+    bad_masks: Optional[jax.Array] = None,  # (T+1, ..., 1)
+    values: Optional[jax.Array] = None,  # (T, ..., 1) denormalized, required w/ bad_masks
 ) -> jax.Array:
     """``use_gae=False`` path: ret_t = r_t + gamma * mask_{t+1} * ret_{t+1}
-    (shared_buffer.py:214-217)."""
+    (shared_buffer.py:214-217). With bad_masks (use_proper_time_limits,
+    shared_buffer.py:186-196): ret_t = bad_{t+1} * (gamma * mask_{t+1} *
+    ret_{t+1} + r_t) + (1 - bad_{t+1}) * V(s_t) — a truncated step's return
+    falls back to the (denormalized) value estimate."""
+    if bad_masks is None:
+
+        def body(ret, inp):
+            r, m = inp
+            ret = r + gamma * m * ret
+            return ret, ret
+
+        _, rets = jax.lax.scan(body, next_value, (rewards, masks[1:]), reverse=True)
+        return rets
+
+    if values is None:
+        raise ValueError("values required when bad_masks is given")
 
     def body(ret, inp):
-        r, m = inp
-        ret = r + gamma * m * ret
+        r, m, bm, v = inp
+        ret = bm * (gamma * m * ret + r) + (1.0 - bm) * v
         return ret, ret
 
-    _, rets = jax.lax.scan(body, next_value, (rewards, masks[1:]), reverse=True)
+    _, rets = jax.lax.scan(
+        body, next_value, (rewards, masks[1:], bad_masks[1:], values), reverse=True
+    )
     return rets

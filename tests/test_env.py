@@ -254,3 +254,42 @@ def test_spaces():
     md = MultiDiscrete([[0, 4], [0, 1]])
     s = md.sample(rng)
     assert md.contains(s) and md.n == 7
+
+
+def test_time_limit_truncation():
+    """cfg.time_limit: episodes truncate at max_ep_len with truncated=True /
+    done=False (the gym TimeLimit analog; the reference env never truncates)
+    and the vec wrapper auto-resets on the truncation boundary."""
+    cfg = CFG._replace(max_ep_len=3, time_limit=True)
+    states = reset_batch(cfg, jax.random.PRNGKey(0), 2)
+    actions = jnp.zeros((2, 4, 2), F32)
+    for t in range(2):
+        states, out = step_batch(cfg, states, actions)
+        assert not np.asarray(out.truncated).any()
+    states, out = step_batch(cfg, states, actions)
+    assert np.asarray(out.truncated).all()
+    assert not np.asarray(out.done).any()  # truncation is not termination
+    # auto-reset happened: t back to 0, agents at origin
+    assert (np.asarray(states.t) == 0).all()
+    np.testing.assert_allclose(np.asarray(states.pos), 0.0, atol=1e-7)
+    # without the flag the same config never truncates
+    cfg_off = CFG._replace(max_ep_len=3)
+    states = reset_batch(cfg_off, jax.random.PRNGKey(0), 2)
+    for _ in range(5):
+        states, out = step_batch(cfg_off, states, actions)
+    assert not np.asarray(out.truncated).any()
+    assert (np.asarray(states.t) == 5).all()
+
+
+def test_vec_facade_render_tiles():
+    """VecDCEnv.render: per-env frames (rgb_array) and the tiled human grid
+    (ShareVecEnv.render semantics, wrappers.py:69-78)."""
+    from dcc_tpu.envs import VecDCEnv
+
+    env = VecDCEnv(CFG, n_envs=3, seed=0)
+    env.reset()
+    frames = env.render("rgb_array", size=64)
+    assert frames.shape == (3, 64, 64, 3) and frames.dtype == np.uint8
+    grid = env.render("human", size=64)
+    assert grid.shape == (128, 128, 3)  # 2x2 grid, one empty pad cell
+    assert (grid[:64, :64] == frames[0]).all()
