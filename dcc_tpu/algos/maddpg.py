@@ -86,12 +86,29 @@ class MADDPGState:
     obs: jax.Array  # (E, N, D) current observations
     ou_state: jax.Array  # (E, N, act)
     total_steps: jax.Array  # () int32
+    iteration: jax.Array  # () int32, outer iterations finished
 
 
 class MADDPG:
-    def __init__(self, cfg: MADDPGConfig, env_cfg: EnvConfig):
+    def __init__(self, cfg: MADDPGConfig, env_cfg: EnvConfig, scenario: str = "coverage"):
         self.cfg = cfg
         self.env_cfg = env_cfg
+        # scenario dispatch (see MAPPO.__init__)
+        self.scenario = scenario
+        if scenario == "coverage":
+            self._reset_batch, self._step_batch = reset_batch, step_batch
+            self._obs_fn = observation
+        else:
+            from ..envs import get_scenario
+            from ..envs.vector import make_vec_fns
+
+            self._reset_batch, self._step_batch = make_vec_fns(scenario)
+            self._obs_fn = get_scenario(scenario)["observation"]
+        if getattr(env_cfg, "resolved_action_mode", "continuous") != "continuous":
+            raise NotImplementedError(
+                "MADDPG is a continuous-control algorithm (tanh actor, "
+                "maddpg.py:13-17); use MAPPO for discrete action modes"
+            )
         n, d, a = env_cfg.n_agents, env_cfg.obs_dim, env_cfg.action_dim
         self.actor = RlkitMlp(
             output_size=a, hidden_sizes=cfg.hidden_sizes, tanh_output=True
@@ -113,8 +130,8 @@ class MADDPG:
         critic_params = jax.vmap(lambda k: self.critic.init(k, dummy_q_in))(
             jax.random.split(k_c, n)
         )
-        env_states = reset_batch(env_cfg, k_env, cfg.n_envs)
-        obs = jax.vmap(lambda s: observation(env_cfg, s))(env_states)
+        env_states = self._reset_batch(env_cfg, k_env, cfg.n_envs)
+        obs = jax.vmap(lambda s: self._obs_fn(env_cfg, s))(env_states)
         cap = cfg.buffer_capacity
         buffer = ReplayBuffer(
             obs=jnp.zeros((cap, n, d), jnp.float32),
@@ -137,7 +154,17 @@ class MADDPG:
             obs=obs,
             ou_state=jnp.full((cfg.n_envs, n, a), cfg.ou_mu, jnp.float32),
             total_steps=jnp.zeros((), jnp.int32),
+            iteration=jnp.zeros((), jnp.int32),
         )
+
+    # ------------------------------------------------------------------
+    def act(self, actor_params, key, obs, deterministic: bool = True):
+        """Deterministic per-agent policy on (..., N, D) observations —
+        the Learner/render-facing analog of MAPPO.act (the reference's
+        MADDPG ``get_action`` without exploration, ``maddpg.py:55-70``).
+        Returns (action, None); DDPG has no log-probs."""
+        del key, deterministic  # DDPG's policy is deterministic
+        return self._actors(actor_params, obs), None
 
     # ------------------------------------------------------------------
     def _actors(self, stacked_params, obs_na: jax.Array) -> jax.Array:
@@ -171,7 +198,7 @@ class MADDPG:
             )
             warm = st.total_steps < cfg.warmup_steps
             action = jnp.where(warm, rand_act, jnp.clip(det_act + ou, -1.0, 1.0))
-            env_states, out = step_batch(env_cfg, st.env_states, action)
+            env_states, out = self._step_batch(env_cfg, st.env_states, action)
             done = out.done.astype(jnp.float32)[:, None]
             # reset OU state where the episode ended (maddpg.py:168-169)
             ou = jnp.where(out.done[:, None, None], cfg.ou_mu, ou)
@@ -194,11 +221,13 @@ class MADDPG:
                 ou_state=ou,
                 total_steps=st.total_steps + E,
             )
-            return st, out.reward.mean()
+            return st, (out.reward.mean(), out.coverage_rate)
 
         keys = jax.random.split(key, n_steps)
-        st, mean_rew = jax.lax.scan(body, st, keys)
-        return st, mean_rew.mean()
+        st, (mean_rew, cover) = jax.lax.scan(body, st, keys)
+        # coverage logged like the Learner does for MAPPO (learner.py:211-214):
+        # per-env max over the collected window, then mean over envs
+        return st, (mean_rew.mean(), cover.max(axis=0).mean())
 
     # ------------------------------------------------------------------
     def update_once(self, st: MADDPGState, key: jax.Array):
@@ -280,13 +309,13 @@ class MADDPG:
         """Deterministic-policy eval rollout (no OU noise)."""
         env_cfg = self.env_cfg
         k_reset, _ = jax.random.split(key)
-        states = reset_batch(env_cfg, k_reset, n_envs)
-        obs = jax.vmap(lambda s: observation(env_cfg, s))(states)
+        states = self._reset_batch(env_cfg, k_reset, n_envs)
+        obs = jax.vmap(lambda s: self._obs_fn(env_cfg, s))(states)
 
         def body(carry, _):
             states, obs = carry
             action = self._actors(st.actor_params, obs)
-            states, out = step_batch(env_cfg, states, action)
+            states, out = self._step_batch(env_cfg, states, action)
             return (states, out.obs), (out.reward, out.coverage_rate)
 
         (_, _), (rew, cover) = jax.lax.scan(
@@ -298,7 +327,7 @@ class MADDPG:
     def train_iteration(self, st: MADDPGState, key: jax.Array):
         cfg = self.cfg
         k_collect, k_update = jax.random.split(key)
-        st, mean_rew = self.collect(st, k_collect, cfg.steps_per_iter)
+        st, (mean_rew, cover) = self.collect(st, k_collect, cfg.steps_per_iter)
 
         def upd(st, k):
             st, losses = self.update_once(st, k)
@@ -316,8 +345,10 @@ class MADDPG:
             return st, (z, z)
 
         st, (c_losses, a_losses) = jax.lax.cond(do_updates, run_updates, skip, st)
+        st = st.replace(iteration=st.iteration + 1)
         return st, {
             "reward": mean_rew,
+            "coverage_rate": cover,
             "qf_loss": c_losses.mean(),
             "policy_loss": a_losses.mean(),
         }

@@ -70,6 +70,9 @@ def to_env_config(cfg: Dict[str, Any]) -> EnvConfig:
         collision_penalty=float(cfg.get("collision_penalty", 0.0)),
         collision_radius=float(cfg.get("collision_radius", 0.08)),
         fix_scaled_connectivity=bool(cfg.get("fix_scaled_connectivity", False)),
+        time_limit=bool(cfg.get("time_limit", False)),
+        discrete_actions=bool(cfg.get("discrete_actions", False)),
+        action_mode=str(cfg.get("action_mode", "")),
     )
 
 
@@ -167,4 +170,19 @@ def load_preset(
 
 def load(overrides: Optional[Dict[str, Any]] = None, **paths) -> Tuple[Dict[str, Any], EnvConfig, MAPPOConfig]:
     cfg = load_yaml_merged(overrides=overrides, **paths)
-    return cfg, to_env_config(cfg), to_algo_config(cfg)
+    # scenario_name routes through the registry (the reference's
+    # scenarios.load-by-name, scenarios/__init__.py:5-7): non-default
+    # scenarios build their own env config from the merged yaml
+    scenario = str(cfg.get("scenario_name", "coverage"))
+    if scenario == "coverage":
+        env_cfg = to_env_config(cfg)
+    else:
+        from ..envs import get_scenario
+
+        entry = get_scenario(scenario)
+        if entry["config_from_yaml"] is None:
+            raise NotImplementedError(
+                f"scenario {scenario!r} registered without a config_from_yaml"
+            )
+        env_cfg = entry["config_from_yaml"](cfg)
+    return cfg, env_cfg, to_algo_config(cfg)

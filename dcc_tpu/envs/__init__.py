@@ -15,9 +15,15 @@ from .vector import reset_batch, share_obs_from_obs, step_batch
 _SCENARIOS = {}
 
 
-def register_scenario(name, *, config_cls, reset_fn, step_fn, observation_fn):
+def register_scenario(
+    name, *, config_cls, reset_fn, step_fn, observation_fn, config_from_yaml=None
+):
     """Register a scenario implementation under ``name``. Overwriting an
-    existing name is an error (delete first) to avoid silent shadowing."""
+    existing name is an error (delete first) to avoid silent shadowing.
+
+    ``config_from_yaml`` (optional): merged-yaml dict -> config instance;
+    the config loader uses it to build the env config for non-default
+    scenarios selected by the ``scenario_name`` yaml key."""
     if name in _SCENARIOS:
         raise ValueError(f"scenario {name!r} already registered")
     _SCENARIOS[name] = {
@@ -25,6 +31,7 @@ def register_scenario(name, *, config_cls, reset_fn, step_fn, observation_fn):
         "reset": reset_fn,
         "step": step_fn,
         "observation": observation_fn,
+        "config_from_yaml": config_from_yaml,
     }
 
 
@@ -44,6 +51,17 @@ register_scenario(
     reset_fn=reset,
     step_fn=step,
     observation_fn=observation,
+)
+
+from . import spread as _spread  # noqa: E402  (registered below)
+
+register_scenario(
+    "spread",
+    config_cls=_spread.SpreadConfig,
+    reset_fn=_spread.reset,
+    step_fn=_spread.step,
+    observation_fn=_spread.observation,
+    config_from_yaml=_spread.config_from_yaml,
 )
 
 __all__ = [

@@ -127,5 +127,32 @@ class VecDCEnv:
         ]
         return obs, rews, dones, infos
 
+    def render(self, mode: str = "human", size: int = 256):
+        """Render every env and tile them into one near-square grid image
+        (``ShareVecEnv.render``, ``wrappers.py:69-78``). ``rgb_array``
+        returns the per-env frames like ``SubprocVecEnv`` does; ``human``
+        returns the tiled bigimg (headless: no window is opened)."""
+        from ..render.gif import draw_frame
+        from ..utils import tile_images
+
+        if self._states is None:
+            raise RuntimeError("render() before reset()")
+        frames = np.stack(
+            [
+                draw_frame(
+                    self.cfg,
+                    np.asarray(self._states.pos[e]),
+                    np.asarray(self._states.poi_pos[e]),
+                    np.asarray(self._states.energy[e]),
+                    np.asarray(self._states.poi_done[e]),
+                    size=size,
+                )
+                for e in range(self.n_envs)
+            ]
+        )
+        if mode == "rgb_array":
+            return frames
+        return tile_images(frames)
+
     def close(self):
         pass

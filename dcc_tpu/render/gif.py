@@ -35,20 +35,26 @@ def rollout_states(algo, ts, key: jax.Array, deterministic: bool = False):
     returns dict of numpy arrays pos (T+1,N,2), poi_pos (T+1,M,2),
     energy (T+1,M), poi_done (T+1,M), reward (T,), coverage (T,)."""
     env_cfg = algo.env_cfg
-    T = algo.cfg.episode_length
+    # MAPPO names the horizon episode_length; MADDPG steps_per_iter
+    T = getattr(algo.cfg, "episode_length", None) or algo.cfg.steps_per_iter
+    # scenario dispatch (render follows whatever scenario the algo trains)
+    from ..envs import get_scenario
+
+    sc = get_scenario(getattr(algo, "scenario", "coverage"))
+    reset_fn, step_fn, obs_fn = sc["reset"], sc["step"], sc["observation"]
 
     def body(carry, _):
         state, obs, k = carry
         k, k_act = jax.random.split(k)
         action, _ = algo.act(ts.actor_params, k_act, obs, deterministic)
-        new_state, out = step(env_cfg, state, action)
+        new_state, out = step_fn(env_cfg, state, action)
         log = (new_state.pos, new_state.poi_pos, new_state.energy,
                new_state.poi_done, out.reward, out.coverage_rate)
         return (new_state, out.obs, k), log
 
     key, k0 = jax.random.split(key)
-    s0 = reset(env_cfg, k0)
-    obs0 = observation(env_cfg, s0)
+    s0 = reset_fn(env_cfg, k0)
+    obs0 = obs_fn(env_cfg, s0)
     f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=T))
     (sT, _, _), (pos, poi_pos, energy, poi_done, rew, cover) = f((s0, obs0, key))
     cat = lambda first, rest: np.concatenate([np.asarray(first)[None], np.asarray(rest)], 0)
@@ -89,34 +95,44 @@ def draw_frame(
         r = radius_world * scale
         draw.ellipse([c[0] - r, c[1] - r, c[0] + r, c[1] + r], fill=rgba)
 
+    # scenario configs without coverage's fields fall back to sensible
+    # defaults (e.g. SpreadConfig: occupy_radius as the cover disc, no comm)
+    r_comm = getattr(env_cfg, "r_comm", 0.0)
+    r_cover = getattr(
+        env_cfg, "r_cover", getattr(env_cfg, "occupy_radius", 0.1)
+    )
+    m_energy = getattr(env_cfg, "m_energy", 1.0)
+    ent_size = getattr(env_cfg, "size", 0.02)
+
     # boundary square (corners at +-bb)
-    bb = env_cfg.bb
+    bb = getattr(env_cfg, "bb", getattr(env_cfg, "soft_bound", 1.0))
     corners = _w2p(np.array([[bb, bb], [bb, -bb], [-bb, -bb], [-bb, bb], [bb, bb]]), size)
     draw.line([tuple(p) for p in corners], fill=(0, 0, 0, 255), width=2)
 
     # comm/cover discs (alpha 0.15 over white, environment.py:252-265)
     for p in pos:
-        circle(p, env_cfg.r_comm, (13, 89, 13, 38))
-        circle(p, env_cfg.r_cover, (13, 64, 13, 38))
+        if r_comm > 0:
+            circle(p, r_comm, (13, 89, 13, 38))
+        circle(p, r_cover, (13, 64, 13, 38))
 
     # comm links between agents within 2*r_comm
     n = len(pos)
     for a in range(n):
         for b in range(a + 1, n):
-            if np.linalg.norm(pos[a] - pos[b]) < 2.0 * env_cfg.r_comm:
+            if r_comm > 0 and np.linalg.norm(pos[a] - pos[b]) < 2.0 * r_comm:
                 pa, pb = _w2p(pos[a].astype(float), size), _w2p(pos[b].astype(float), size)
                 draw.line([tuple(pa), tuple(pb)], fill=(0, 0, 0, 180), width=1)
 
     # PoIs: color (0.25, 0.25 + energy/m_energy*0.75, 0.25), clamped
     # (CoverageWorld.py:166-168)
     for p, e, d in zip(poi_pos, energy, poi_done):
-        g = min(0.25 + float(e) / env_cfg.m_energy * 0.75, 1.0)
+        g = min(0.25 + float(e) / m_energy * 0.75, 1.0)
         rgba = (64, int(255 * g), 64, 255)
-        circle(p, env_cfg.size, rgba)
+        circle(p, ent_size, rgba)
 
     # agent bodies (color 0.05,0.15,0.05 alpha 0.5, environment.py:244,275)
     for p in pos:
-        circle(p, env_cfg.size, (13, 38, 13, 128))
+        circle(p, ent_size, (13, 38, 13, 128))
 
     return np.asarray(img.convert("RGB"))
 

@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-from ..algos import MAPPO
+from ..algos.factory import make_algo
 from ..configs.loader import load as load_config
 from ..parallel import make_mesh, replicated
 from ..parallel import distributed as dist
@@ -43,7 +43,10 @@ class Learner:
         if use_mesh and jax.device_count() > 1:
             mesh = make_mesh()
         self.mesh = mesh
-        self.algo = MAPPO(self.algo_cfg, self.env_cfg, mesh=mesh)
+        # algo_file selects the algorithm (ref config/expt.yaml semantics;
+        # fixes the reference bug where learner.py:48 hardcodes MAPPO and
+        # make_algo is dead code)
+        self.algo = make_algo(self.cfg, self.env_cfg, mesh=mesh)
 
         key = jax.random.PRNGKey(self.seed)
         self.ts = self.algo.init_state(key)
@@ -67,19 +70,29 @@ class Learner:
             else None
         )
 
-        # run dir + config snapshot (learner.py:111-120)
-        self.is_save_model = bool(self.cfg.get("save_model", True)) and self.is_coordinator
+        # run dir + config snapshot (learner.py:111-120). Checkpoint saves
+        # are collective in a multi-process run (orbax: every process writes
+        # its array shards), so is_save_model is NOT coordinator-gated; the
+        # timestamped run dir is chosen by the coordinator and broadcast so
+        # all processes write into the same location.
+        self.is_save_model = bool(self.cfg.get("save_model", True))
         self.output_path = None
         if self.is_save_model:
-            expt_name = datetime.datetime.now().strftime("%m%d_%H%M_") + f"sd{self.seed}"
+            expt_name = None
+            if self.is_coordinator:
+                expt_name = (
+                    datetime.datetime.now().strftime("%m%d_%H%M_") + f"sd{self.seed}"
+                )
+            expt_name = dist.broadcast_str(expt_name)
             self.output_path = os.path.join(
                 str(self.cfg.get("main_save_path", "results/")),
                 str(self.cfg.get("save_name", "uav_dcc")),
                 expt_name,
             )
             os.makedirs(self.output_path, exist_ok=True)
-            with open(os.path.join(self.output_path, "config.json"), "w") as f:
-                json.dump(self.cfg, f, indent=4, default=str)
+            if self.is_coordinator:
+                with open(os.path.join(self.output_path, "config.json"), "w") as f:
+                    json.dump(self.cfg, f, indent=4, default=str)
 
         if self.cfg.get("load_model") and self.cfg.get("load_model_path"):
             self.load_model(str(self.cfg["load_model_path"]))
@@ -134,18 +147,16 @@ class Learner:
 
             logs: Dict[str, Dict[str, float]] = {}
             if it % log_interval == 0:
+                # MAPPO returns a Metrics NamedTuple, MADDPG a dict; both
+                # split into the reference's rollout_info / rl_train_info
+                # sections (learner.py:305-308)
+                md = dict(m._asdict()) if hasattr(m, "_asdict") else dict(m)
                 logs["rollout_info"] = {
-                    "reward": float(m.reward),
-                    "coverage_rate": float(m.coverage_rate),
+                    k: float(md.pop(k))
+                    for k in ("reward", "coverage_rate")
+                    if k in md
                 }
-                logs["rl_train_info"] = {
-                    "value_loss": float(m.value_loss),
-                    "policy_loss": float(m.policy_loss),
-                    "dist_entropy": float(m.dist_entropy),
-                    "actor_grad_norm": float(m.actor_grad_norm),
-                    "critic_grad_norm": float(m.critic_grad_norm),
-                    "ratio": float(m.ratio),
-                }
+                logs["rl_train_info"] = {k: float(v) for k, v in md.items()}
 
             if self._eval is not None and it % eval_interval == 0:
                 with self.profiler.phase("eval"):
@@ -157,7 +168,12 @@ class Learner:
                     "coverage_rate": float(ev["coverage_rate"]),
                 }
 
-            if it % render_interval == 0 and self.output_path and self.cfg.get("save_gifs", True):
+            if (
+                it % render_interval == 0
+                and self.output_path
+                and self.is_coordinator
+                and self.cfg.get("save_gifs", True)
+            ):
                 with self.profiler.phase("render"):
                     self.render(os.path.join(self.output_path, f"models_{it}.gif"))
 
@@ -168,7 +184,8 @@ class Learner:
                 with self.profiler.phase("save"):
                     path = os.path.join(self.output_path, f"models_{it}")
                     self.save_model(path)
-                print(f"model saved in {path}")
+                if self.is_coordinator:
+                    print(f"model saved in {path}")
 
         self.profiler.stop()
         if self.is_coordinator and self.profiler.summary():
@@ -200,7 +217,13 @@ class Learner:
         self._check = now
 
     def save_model(self, path: str):
+        # collective in a multi-process run: every process participates in
+        # the orbax save; the barrier keeps non-coordinators from racing
+        # into the next iteration's collectives mid-write
         ckpt.save(path, self.ts)
+        dist.barrier("save_model")
 
     def load_model(self, path: str):
+        dist.barrier("load_model_enter")
         self.ts = ckpt.load(path, self.ts)
+        dist.barrier("load_model_exit")

