@@ -30,8 +30,17 @@ from . import checkpoint as ckpt
 
 
 class Learner:
-    def __init__(self, overrides: Optional[Dict[str, Any]] = None, use_mesh: bool = False):
-        self.cfg, self.env_cfg, self.algo_cfg = load_config(overrides)
+    def __init__(
+        self,
+        overrides: Optional[Dict[str, Any]] = None,
+        use_mesh: bool = False,
+        env_yaml: Optional[str] = None,
+        algo_yaml: Optional[str] = None,
+        expt_yaml: Optional[str] = None,
+    ):
+        self.cfg, self.env_cfg, self.algo_cfg = load_config(
+            overrides, env_yaml=env_yaml, algo_yaml=algo_yaml, expt_yaml=expt_yaml
+        )
         self.seed = int(self.cfg.get("seed", 0))
 
         # join the multi-process runtime if launched as one (no-op otherwise);

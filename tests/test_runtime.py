@@ -153,3 +153,28 @@ def test_render_frame_and_gif(tmp_path):
     gif = str(tmp_path / "ep.gif")
     frames = render_gif(algo.env_cfg, states, gif, size=96)
     assert os.path.exists(gif) and len(frames) == 7
+
+
+def test_train_cli_algo_yaml_selects_maddpg(tmp_path):
+    """`python train.py --algo-yaml .../maddpg.yaml` trains MADDPG: the CLI
+    yaml paths reach the Learner (they used to be parsed and dropped)."""
+    import train as cli
+    from dcc_tpu.algos.maddpg import MADDPG
+
+    algo_yaml = os.path.join(
+        os.path.dirname(os.path.abspath(cli.__file__)),
+        "dcc_tpu", "configs", "algo_config", "maddpg.yaml",
+    )
+    args, overrides = cli.parse_overrides(
+        [
+            "--algo-yaml", algo_yaml,
+            "--n-iters", "1", "--n-rollout-threads", "2", "--max-ep-len", "4",
+            "--batch-size", "8", "--warmup-steps", "0", "--updates-per-iter", "1",
+            "--n-eval-rollout-threads", "0", "--render-interval", "1000",
+            "--save-interval", "1", "--main-save-path", str(tmp_path),
+        ]
+    )
+    learner = Learner(overrides, use_mesh=args.mesh, algo_yaml=args.algo_yaml)
+    assert isinstance(learner.algo, MADDPG)
+    learner.train()
+    assert int(learner.ts.iteration) == 1

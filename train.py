@@ -54,7 +54,13 @@ def main(argv=None):
     args, overrides = parse_overrides(sys.argv[1:] if argv is None else argv)
     from dcc_tpu.runtime.learner import Learner
 
-    learner = Learner(overrides, use_mesh=args.mesh)
+    learner = Learner(
+        overrides,
+        use_mesh=args.mesh,
+        env_yaml=args.env_yaml,
+        algo_yaml=args.algo_yaml,
+        expt_yaml=args.expt_yaml,
+    )
     learner.train()
 
 
