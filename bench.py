@@ -26,7 +26,7 @@ import sys
 import time
 
 
-def _measure(n_envs, T, iters, dtype, remat):
+def _measure(n_envs, T, iters, dtype, remat, chunks=1):
     import jax
 
     from dcc_tpu.algos import MAPPO, MAPPOConfig
@@ -36,6 +36,7 @@ def _measure(n_envs, T, iters, dtype, remat):
         n_rollout_threads=n_envs,
         episode_length=T,
         use_remat=remat,
+        update_chunks=chunks,
         compute_dtype=dtype,
     )
     algo = MAPPO(cfg, EnvConfig())
@@ -64,13 +65,14 @@ def main():
     T = int(os.environ.get("BENCH_T", "150"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    chunks = int(os.environ.get("BENCH_CHUNKS", "1"))
     # BENCH_DTYPE=float32|bfloat16 restricts to one configuration; default
     # measures both (headline = float32, the baseline-comparable config).
     only = os.environ.get("BENCH_DTYPE")
 
     results = {}
     for dtype in [only] if only else ["float32", "bfloat16"]:
-        results[dtype] = _measure(n_envs, T, iters, dtype, remat)
+        results[dtype] = _measure(n_envs, T, iters, dtype, remat, chunks)
 
     base_path = os.path.join(
         os.path.dirname(__file__), "benchmarks", "reference_baseline.json"
@@ -92,6 +94,7 @@ def main():
         ),
         "dtype": headline_dtype,
         "remat": remat,
+        "update_chunks": chunks,
         "n_envs": n_envs,
         "episode_length": T,
     }

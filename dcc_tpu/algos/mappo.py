@@ -114,6 +114,14 @@ class MAPPOConfig(NamedTuple):
     # in the backward pass, trading ~1/3 more update FLOPs for fitting ~2x
     # the env count in HBM. Identical gradients (tests/test_mappo.py).
     use_remat: bool = False
+    # Split each PPO optimizer step's loss/gradient computation into this
+    # many row chunks, accumulated sequentially (gradient accumulation).
+    # Mathematically identical to the single-pass update (the batch mean is
+    # the equal-weight mean of chunk means) but bounds activation memory to
+    # one chunk — the lever for very large env counts where even remat OOMs
+    # because the full (T*E*A, hidden) forward activations exceed HBM.
+    # 1 (default) = single pass. Feed-forward shared-policy path only.
+    update_chunks: int = 1
 
 
 @struct.dataclass
@@ -264,6 +272,13 @@ class MAPPO:
                 f"data_chunk_length ({cfg.data_chunk_length})"
             )
         self._sep = not cfg.share_policy
+        if cfg.update_chunks > 1 and (
+            self._recurrent or self._sep or cfg.num_mini_batch != 1
+        ):
+            raise NotImplementedError(
+                "update_chunks (gradient accumulation) supports the "
+                "feed-forward shared-policy num_mini_batch=1 path"
+            )
         if self._sep and (self._recurrent or cfg.num_mini_batch != 1 or cfg.use_popart):
             raise NotImplementedError(
                 "separated (per-agent) policies currently support the "
@@ -856,6 +871,165 @@ class MAPPO:
         )
         return ts, metrics.reshape(-1, 6).mean(axis=0)
 
+    def _update_ff_chunked(self, ts: TrainState, traj: Trajectory, adv_n, returns):
+        """Single-minibatch PPO epochs with the loss/gradient computed over
+        ``update_chunks`` sequential row chunks (gradient accumulation).
+
+        Exactly the reference's feed_forward num_mini_batch=1 update — the
+        batch mean is the equal-weight mean of chunk means, so the
+        accumulated gradient equals the single-pass gradient up to float
+        reassociation — but peak activation memory is one chunk's, which is
+        what lets 16k+ env batches train on one chip (the full-batch
+        forward's (T*E*A, hidden) activations exceed HBM even under remat).
+        ValueNorm/PopArt stats update once per epoch from the full returns,
+        matching the single-minibatch reference semantics
+        (``mappo.py:106-107``)."""
+        cfg = self.cfg
+        T, E, A, _ = traj.actions.shape
+        C = cfg.update_chunks
+        R, Rv = T * E * A, T * E
+        if R % C or Rv % C:
+            raise ValueError(
+                f"update_chunks ({C}) must divide T*E*A ({R}) and T*E ({Rv})"
+            )
+        net_in = (
+            (lambda x: x.astype(self._net_dtype))
+            if self._net_dtype is not None
+            else (lambda x: x)
+        )
+        obs_c = net_in(traj.obs[:-1].reshape(C, R // C, *self._obs_shape))
+        act_c = traj.actions.reshape(C, R // C, -1)
+        logp_c = traj.log_probs.reshape(C, R // C, -1)
+        adv_c = jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)).reshape(
+            C, R // C, 1
+        )
+        cent_c = net_in(
+            traj.obs[:-1].reshape(T, E, A * self.obs_dim).reshape(C, Rv // C, -1)
+        )
+        vpred_c = traj.values[:-1].reshape(C, Rv // C, 1)
+        ret_c = returns.reshape(C, Rv // C, 1)
+
+        def epoch(carry, _):
+            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+            # normalizer stats from the FULL epoch returns, once
+            if cfg.use_valuenorm:
+                vnorm = VN.update(vnorm, returns)
+                norm_ret = lambda r: VN.normalize(vnorm, r)
+            elif cfg.use_popart:
+                kernel = critic_params["params"]["v_out"]["kernel"]
+                bias = critic_params["params"]["v_out"]["bias"]
+                popart, kernel, bias = PA.update(popart, kernel, bias, returns)
+                new_head = {
+                    **critic_params["params"]["v_out"],
+                    "kernel": kernel,
+                    "bias": bias,
+                }
+                critic_params = {
+                    **critic_params,
+                    "params": {**critic_params["params"], "v_out": new_head},
+                }
+                norm_ret = lambda r: PA.normalize(popart, r)
+            else:
+                norm_ret = lambda r: r
+
+            def chunk_loss(a_params, c_params, chunk):
+                obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b = chunk
+                out, _ = self.actor.apply(a_params, obs_b)
+                new_logp, ent = self._eval_dist(out, act_b)
+                dist_entropy = ent.sum(-1).mean()
+                ratio = jnp.exp(new_logp - logp_b)
+                surr1 = ratio * adv_b
+                surr2 = (
+                    jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+                    * adv_b
+                )
+                policy_loss = -jnp.sum(
+                    jnp.minimum(surr1, surr2), axis=-1, keepdims=True
+                ).mean()
+                values = self.value(c_params, cent_b)
+                ret_t = norm_ret(ret_b)
+                v_clip = vpred_b + jnp.clip(
+                    values - vpred_b, -cfg.clip_param, cfg.clip_param
+                )
+                lf = (
+                    (lambda e: _huber(e, cfg.huber_delta))
+                    if cfg.use_huber_loss
+                    else _mse
+                )
+                vl = (
+                    jnp.maximum(lf(ret_t - values), lf(ret_t - v_clip))
+                    if cfg.use_clipped_value_loss
+                    else lf(ret_t - values)
+                )
+                value_loss = vl.mean()
+                total = (
+                    policy_loss
+                    - dist_entropy * cfg.entropy_coef
+                    + value_loss * cfg.value_loss_coef
+                )
+                return total, jnp.stack(
+                    [value_loss, policy_loss, dist_entropy, ratio.mean()]
+                )
+
+            grad_fn = jax.value_and_grad(chunk_loss, argnums=(0, 1), has_aux=True)
+
+            def acc_chunk(acc, chunk):
+                a_acc, c_acc, m_acc = acc
+                (_, m), (ag, cg) = grad_fn(actor_params, critic_params, chunk)
+                add = lambda x, y: jax.tree_util.tree_map(jnp.add, x, y)
+                return (add(a_acc, ag), add(c_acc, cg), m_acc + m), None
+
+            zero_like = lambda p: jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), p
+            )
+            (a_g, c_g, m_sum), _ = jax.lax.scan(
+                acc_chunk,
+                (zero_like(actor_params), zero_like(critic_params), jnp.zeros((4,))),
+                (obs_c, act_c, logp_c, adv_c, cent_c, vpred_c, ret_c),
+            )
+            scale = lambda g: jax.tree_util.tree_map(lambda x: x / C, g)
+            a_grads, c_grads = scale(a_g), scale(c_g)
+            a_norm = optax.global_norm(a_grads)
+            c_norm = optax.global_norm(c_grads)
+            a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+            actor_params = optax.apply_updates(actor_params, a_updates)
+            c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+            critic_params = optax.apply_updates(critic_params, c_updates)
+            m = m_sum / C
+            metrics = jnp.stack([m[0], m[1], m[2], a_norm, c_norm, m[3]])
+            return (
+                actor_params,
+                critic_params,
+                a_opt,
+                c_opt,
+                vnorm,
+                popart,
+                count + 1,
+            ), metrics
+
+        carry = (
+            ts.actor_params,
+            ts.critic_params,
+            ts.actor_opt,
+            ts.critic_opt,
+            ts.vnorm,
+            ts.popart,
+            ts.update_count,
+        )
+        carry, metrics = jax.lax.scan(epoch, carry, None, length=cfg.ppo_epoch)
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        ts = ts.replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=a_opt,
+            critic_opt=c_opt,
+            vnorm=vnorm,
+            popart=popart,
+            update_count=count,
+            iteration=ts.iteration + 1,
+        )
+        return ts, metrics.mean(axis=0)
+
     def update(self, ts: TrainState, key: jax.Array, traj: Trajectory, adv, returns):
         """The epoch/minibatch PPO loop as a lax.scan (MAPPOTrainer.train,
         mappo.py:189-227)."""
@@ -872,6 +1046,8 @@ class MAPPO:
 
         if self._recurrent:
             return self._update_recurrent(ts, key, traj, adv_n, returns)
+        if cfg.update_chunks > 1:
+            return self._update_ff_chunked(ts, traj, adv_n, returns)
 
         # Under bf16 compute, store the network inputs (the dominant HBM
         # traffic — re-read every epoch) in bf16 up front. The only

@@ -121,7 +121,9 @@ def to_algo_config(cfg: Dict[str, Any]) -> MAPPOConfig:
         # default; opt into per-agent params with use_separated_policy.
         share_policy=not bool(cfg.get("use_separated_policy", False)),
         use_remat=bool(cfg.get("use_remat", False)),
+        update_chunks=int(cfg.get("update_chunks", 1)),
         gae_backend=str(cfg.get("gae_backend", "auto")),
+        compute_dtype=str(cfg.get("compute_dtype", "float32")),
     )
 
 

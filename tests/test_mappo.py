@@ -486,3 +486,44 @@ def test_action_head_deterministic_modes():
         lp2, ent = D.evaluate_head(kind, out_, a)
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-6)
         assert np.isfinite(np.asarray(ent)).all()
+
+
+def test_update_chunks_matches_single_pass():
+    """Gradient accumulation (update_chunks) must reproduce the single-pass
+    update: the batch mean is the equal-weight mean of chunk means, so one
+    full train iteration yields the same params up to float reassociation."""
+    base = dict(n_rollout_threads=4, episode_length=10, ppo_epoch=3, n_iters=5,
+                hidden_size=24)
+    outs = []
+    for chunks in (1, 5):
+        cfg = MAPPOConfig(update_chunks=chunks, **base)
+        algo = MAPPO(cfg, ENV)
+        ts = algo.init_state(jax.random.PRNGKey(0))
+        ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+        outs.append((ts2, m))
+    (ts1, m1), (ts5, m5) = outs
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts1.actor_params),
+        jax.tree_util.tree_leaves(ts5.actor_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts1.critic_params),
+        jax.tree_util.tree_leaves(ts5.critic_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    np.testing.assert_allclose(
+        float(m1.value_loss), float(m5.value_loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1.actor_grad_norm), float(m5.actor_grad_norm), rtol=1e-4
+    )
+
+
+def test_update_chunks_guards():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MAPPO(MAPPOConfig(update_chunks=2, num_mini_batch=2), ENV)
+    with _pytest.raises(NotImplementedError):
+        MAPPO(MAPPOConfig(update_chunks=2, use_recurrent_policy=True), ENV)

@@ -8,7 +8,7 @@ import jax
 import pytest
 
 from dcc_tpu.algos import MAPPO
-from dcc_tpu.configs import PRESETS, load_preset, to_maddpg_config
+from dcc_tpu.configs import PRESETS, load, load_preset, to_maddpg_config
 
 
 def test_all_presets_load():
@@ -79,3 +79,13 @@ def test_maddpg_config_mapping():
     mcfg = to_maddpg_config(cfg)
     assert mcfg.batch_size == 64 and mcfg.hidden_sizes == (32, 32)
     assert mcfg.critic_lr == 1e-3 and mcfg.tau == 0.01
+
+
+def test_loader_maps_update_chunks_and_dtype():
+    """update_chunks / compute_dtype yaml keys reach MAPPOConfig (both used
+    to be constructor-only), and the 16k preset requests chunked updates."""
+    _, _, algo_cfg = load({"update_chunks": 4, "compute_dtype": "bfloat16"})
+    assert algo_cfg.update_chunks == 4
+    assert algo_cfg.compute_dtype == "bfloat16"
+    _, _, a16 = load_preset("20uav_16k_dist")
+    assert a16.update_chunks == 8 and a16.use_remat
