@@ -122,6 +122,17 @@ class MAPPOConfig(NamedTuple):
     # because the full (T*E*A, hidden) forward activations exceed HBM.
     # 1 (default) = single pass. Feed-forward shared-policy path only.
     update_chunks: int = 1
+    # MLP trunk backend: "auto" runs the trunk as the fused Pallas kernel
+    # (ops/fused_mlp: VMEM-resident LN->Dense->act->LN chain + remat-in-
+    # kernel custom-VJP backward) on a single TPU chip with the shared
+    # feed-forward policy; "on"/"off" force it; "interpret" = on via the
+    # Pallas interpreter (CPU testing). The XLA schedule for this trunk is
+    # bandwidth-bound (benchmarks/PERF_NOTES.md), the fused kernel removes
+    # the inter-layer activation HBM round-trips.
+    fused_trunk: str = "auto"
+    # Row-tile size of the fused trunk kernel's grid (rows staged into VMEM
+    # per program).
+    fused_block_rows: int = 512
 
 
 @struct.dataclass
@@ -225,6 +236,32 @@ class MAPPO:
             getattr(env_cfg, "obs_shape", (env_cfg.obs_dim,))
         )
         use_cnn = len(self._obs_shape) == 3
+        # Fused-trunk dispatch mirrors the Pallas-GAE policy: "auto" only on
+        # a single TPU chip (under a GSPMD mesh the opaque custom call would
+        # block XLA's env-axis sharding) and only for the shared-policy MLP
+        # path (the separated path vmaps the per-agent update).
+        single_dev = mesh is None or mesh.devices.size == 1
+        if cfg.fused_trunk in ("on", "interpret"):
+            fused = not use_cnn
+        elif cfg.fused_trunk == "auto":
+            # Measured on v5e (benchmarks/PERF_NOTES.md): in bf16 the fused
+            # kernel matches XLA at 4k envs and wins 13% at 16k envs (it
+            # obsoletes use_remat — activations never leave VMEM); in f32 it
+            # is ~5% slower because it runs the matmuls at HIGHEST precision
+            # where XLA's default is a single bf16 pass — so "auto" picks it
+            # only for the bf16 configuration, and f32 users who want the
+            # extra accuracy opt in with "on".
+            fused = (
+                not use_cnn
+                and cfg.share_policy
+                and single_dev
+                and net_dtype == jnp.bfloat16
+                and jax.default_backend() in ("tpu", "axon")
+            )
+        elif cfg.fused_trunk == "off":
+            fused = False
+        else:
+            raise ValueError(f"unknown fused_trunk {cfg.fused_trunk!r}")
         net_kwargs = dict(
             hidden_size=cfg.hidden_size,
             layer_n=cfg.layer_n,
@@ -234,6 +271,9 @@ class MAPPO:
             use_rnn=cfg.use_recurrent_policy or cfg.use_naive_recurrent,
             recurrent_n=cfg.recurrent_n,
             dtype=net_dtype,
+            fused=fused,
+            fused_interpret=cfg.fused_trunk == "interpret",
+            fused_block_rows=cfg.fused_block_rows,
         )
         actor_net_kwargs = dict(net_kwargs, use_cnn=use_cnn)
         # ACTLayer dispatch (act.py:19-41): the env config describes its

@@ -124,6 +124,7 @@ def to_algo_config(cfg: Dict[str, Any]) -> MAPPOConfig:
         update_chunks=int(cfg.get("update_chunks", 1)),
         gae_backend=str(cfg.get("gae_backend", "auto")),
         compute_dtype=str(cfg.get("compute_dtype", "float32")),
+        fused_trunk=str(cfg.get("fused_trunk", "auto")),
     )
 
 

@@ -37,6 +37,9 @@ class _Trunk(nn.Module):
     recurrent_n: int = 1
     use_cnn: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # Pallas fused trunk (ops/fused_mlp)
+    fused_interpret: bool = False
+    fused_block_rows: int = 512
 
     def setup(self):
         if self.use_cnn:
@@ -55,6 +58,9 @@ class _Trunk(nn.Module):
                 use_feature_normalization=self.use_feature_normalization,
                 use_orthogonal=self.use_orthogonal,
                 dtype=self.dtype,
+                fused=self.fused,
+                fused_interpret=self.fused_interpret,
+                fused_block_rows=self.fused_block_rows,
                 name="base",
             )
         if self.use_rnn:

@@ -11,7 +11,7 @@ parameters stay float32.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -20,8 +20,48 @@ RELU_GAIN = 2.0 ** 0.5  # nn.init.calculate_gain('relu')
 TANH_GAIN = 5.0 / 3.0  # nn.init.calculate_gain('tanh')
 
 
+class _LNParams(nn.Module):
+    """Parameter shell matching ``nn.LayerNorm``'s tree (scale, bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.dim,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.dim,), jnp.float32
+        )
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter shell matching ``nn.Dense``'s tree (kernel, bias)."""
+
+    features: int
+    kernel_init: Callable[..., Any]
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class MLPBase(nn.Module):
-    """LayerNorm(obs) -> [Dense -> act -> LayerNorm] x (1 + layer_N)."""
+    """LayerNorm(obs) -> [Dense -> act -> LayerNorm] x (1 + layer_N).
+
+    With ``fused=True`` the whole trunk runs as the single Pallas kernel in
+    :mod:`dcc_tpu.ops.fused_mlp` (VMEM-resident forward + rematerializing
+    custom-VJP backward). The parameter tree is byte-identical to the flax
+    path (same module names, shapes, and initializers), so checkpoints and
+    the two execution paths interoperate freely.
+    """
 
     hidden_size: int = 256
     layer_n: int = 1
@@ -29,6 +69,9 @@ class MLPBase(nn.Module):
     use_feature_normalization: bool = True
     use_orthogonal: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype; None = float32
+    fused: bool = False
+    fused_block_rows: int = 256
+    fused_interpret: bool = False  # CPU testing of the fused path
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -38,6 +81,30 @@ class MLPBase(nn.Module):
             kinit = nn.initializers.orthogonal(scale=gain)
         else:
             kinit = nn.initializers.xavier_uniform()
+        if self.fused:
+            from ..ops.fused_mlp import fused_mlp
+
+            flat = []
+            if self.use_feature_normalization:
+                flat += list(_LNParams(x.shape[-1], name="feature_norm")())
+            d_in = x.shape[-1]
+            for i in range(1 + self.layer_n):
+                k, b = _DenseParams(
+                    self.hidden_size, kernel_init=kinit, name=f"fc{i}"
+                )(d_in)
+                s, be = _LNParams(self.hidden_size, name=f"norm{i}")()
+                flat += [k, b, s, be]
+                d_in = self.hidden_size
+            return fused_mlp(
+                x,
+                flat,
+                n_layers=1 + self.layer_n,
+                use_feature_norm=self.use_feature_normalization,
+                use_relu=self.use_relu,
+                bf16=self.dtype == jnp.bfloat16,
+                block_rows=self.fused_block_rows,
+                interpret=self.fused_interpret,
+            )
         if self.use_feature_normalization:
             x = nn.LayerNorm(dtype=self.dtype, name="feature_norm")(x)
         for i in range(1 + self.layer_n):

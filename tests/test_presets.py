@@ -45,7 +45,10 @@ def test_preset_shapes():
 
     _, env20, algo20 = load_preset("20uav_16k_dist")
     assert env20.n_agents == 20 and algo20.n_rollout_threads == 16384
-    assert algo20.use_remat
+    # production scale config: mixed precision + fused-trunk-era memory
+    # levers (chunked accumulation; remat obsoleted by the fused kernel)
+    assert algo20.compute_dtype == "bfloat16"
+    assert not algo20.use_remat and algo20.update_chunks == 4
 
 
 def test_unknown_preset_raises():
@@ -88,4 +91,5 @@ def test_loader_maps_update_chunks_and_dtype():
     assert algo_cfg.update_chunks == 4
     assert algo_cfg.compute_dtype == "bfloat16"
     _, _, a16 = load_preset("20uav_16k_dist")
-    assert a16.update_chunks == 8 and a16.use_remat
+    assert a16.update_chunks == 4 and not a16.use_remat
+    assert a16.fused_trunk == "auto"
