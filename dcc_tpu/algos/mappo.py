@@ -133,6 +133,12 @@ class MAPPOConfig(NamedTuple):
     # Row-tile size of the fused trunk kernel's grid (rows staged into VMEM
     # per program).
     fused_block_rows: int = 512
+    # In bfloat16 mode, store the trajectory's observation rows in bf16
+    # (numerically free: the PPO update casts obs to bf16 at the trunk input
+    # anyway, so the stored copy is the same bits either way) — halves the
+    # dominant rollout buffer ((T+1, E, A, obs_dim)), the HBM lever for
+    # 32k+ env batches. Ignored in float32 mode.
+    store_obs_bf16: bool = True
 
 
 @struct.dataclass
@@ -463,6 +469,11 @@ class MAPPO:
         cfg, env_cfg = self.cfg, self.env_cfg
         n_agents = env_cfg.n_agents
         T = cfg.episode_length
+        store_dtype = (
+            jnp.bfloat16
+            if (self._net_dtype == jnp.bfloat16 and cfg.store_obs_bf16)
+            else jnp.float32
+        )
         key, k_reset = jax.random.split(key)
         states = self._reset_batch(env_cfg, k_reset, n_envs)
         states = _mesh.constrain(states, self.mesh, 0)  # shard envs over 'data'
@@ -519,7 +530,7 @@ class MAPPO:
             mask_next = 1.0 - boundary.astype(jnp.float32)[:, None]
             bad_mask_next = 1.0 - out.truncated.astype(jnp.float32)[:, None]
             ys = (
-                obs,
+                obs.astype(store_dtype),
                 action,
                 logp,
                 v,
@@ -550,7 +561,7 @@ class MAPPO:
         else:
             v_T = self.value(ts.critic_params, obs_T.reshape(n_envs, -1))
         return Trajectory(
-            obs=jnp.concatenate([obs, obs_T[None]], axis=0),
+            obs=jnp.concatenate([obs, obs_T[None].astype(store_dtype)], axis=0),
             actions=actions,
             log_probs=logps,
             values=jnp.concatenate([values, v_T[None]], axis=0),

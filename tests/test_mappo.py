@@ -323,6 +323,29 @@ def test_discrete_env_decode():
     np.testing.assert_allclose(v[3], [0.0, 0.5], atol=1e-6)   # +y
 
 
+def test_trajectory_obs_storage_dtype():
+    """store_obs_bf16: in bf16 mode the trajectory's obs rows are stored in
+    bf16 (numerically free — the update casts obs to bf16 at the trunk input
+    either way); float32 mode and the opt-out flag keep f32 storage."""
+    traj_f32 = _small_algo().rollout(
+        _small_algo().init_state(jax.random.PRNGKey(0)), jax.random.PRNGKey(1), 4
+    )
+    assert traj_f32.obs.dtype == jnp.float32
+    algo_bf = _small_algo(compute_dtype="bfloat16")
+    traj_bf = algo_bf.rollout(
+        algo_bf.init_state(jax.random.PRNGKey(0)), jax.random.PRNGKey(1), 4
+    )
+    assert traj_bf.obs.dtype == jnp.bfloat16
+    # rewards/values/masks stay f32 (GAE and losses are f32)
+    assert traj_bf.rewards.dtype == jnp.float32
+    assert traj_bf.values.dtype == jnp.float32
+    algo_opt_out = _small_algo(compute_dtype="bfloat16", store_obs_bf16=False)
+    traj_opt = algo_opt_out.rollout(
+        algo_opt_out.init_state(jax.random.PRNGKey(0)), jax.random.PRNGKey(1), 4
+    )
+    assert traj_opt.obs.dtype == jnp.float32
+
+
 def test_bfloat16_compute_path():
     """compute_dtype="bfloat16": trunk matmuls in bf16, params/optimizer/
     distribution/loss math float32; training stays finite and close to the
