@@ -13,6 +13,16 @@ program) on the default 4-UAV / 20-PoI config, in two configurations:
 * **float32 parity config** — 4096 envs, full float32, the bit-faithful
   reference-semantics configuration.
 
+Also measures the two phase-isolated rates of BASELINE config #4 at the
+headline shape:
+
+* **env-only** — the bare vmapped ``step_batch`` scan (no policy, no
+  update): pure environment-stepping throughput, the counterpart of the
+  reference's 959.7 steps/s env farm (benchmarks/reference_baseline.json
+  ``env_only_steps_per_s``).
+* **rollout-only** — ``MAPPO.rollout`` (policy act + env step + trajectory
+  store, no PPO update).
+
 Baseline: the reference implementation's full pipeline measured on this
 host's CPU (benchmarks/reference_baseline.json; the reference is
 Python+torch with a synchronous env farm and publishes no numbers of its
@@ -20,10 +30,14 @@ own — see BASELINE.md). The baseline runs float32; the float32_* fields are
 the apples-to-apples comparison, the headline is the production number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "dtype",
-"n_envs", "update_chunks", "fused_trunk", "float32_value",
-"float32_vs_baseline", ...}. Override knobs: BENCH_ENVS / BENCH_T /
-BENCH_ITERS / BENCH_DTYPE / BENCH_REMAT / BENCH_CHUNKS / BENCH_FUSED
-(restricts the run to one explicitly-shaped configuration).
+"n_envs", "update_chunks", "fused_trunk", "env_only_steps_per_s",
+"rollout_steps_per_s", "float32_value", "float32_vs_baseline", ...}.
+
+Override knobs (honored in every mode): BENCH_ENVS / BENCH_T / BENCH_ITERS
+/ BENCH_CHUNKS / BENCH_FUSED / BENCH_BLOCK_ROWS / BENCH_REMAT apply to the
+headline configuration; BENCH_DTYPE=float32|bfloat16 restricts the run to
+that single configuration; BENCH_SKIP_PHASES=1 skips the env-only/rollout
+measurements.
 """
 
 import json
@@ -32,8 +46,23 @@ import sys
 import time
 
 
-def _measure(n_envs, T, iters, dtype, remat, chunks=1, fused="auto",
-             block_rows=1024):
+def _sync_median_rate(fn, args, n_steps, iters):
+    """Median steps/s of fn(*args) over `iters` timed calls (2 warmups).
+    NB: on the tunneled TPU backend block_until_ready can return before
+    remote execution finishes, so synchronize with an actual device->host
+    scalar fetch done by the caller-provided fn."""
+    for _ in range(2):
+        fn(*args)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        fn(*args)
+        times.append(time.time() - t0)
+    times.sort()
+    return n_steps / times[len(times) // 2]
+
+
+def _build(n_envs, T, dtype, remat, chunks, fused, block_rows):
     import jax
 
     from dcc_tpu.algos import MAPPO, MAPPOConfig
@@ -46,33 +75,76 @@ def _measure(n_envs, T, iters, dtype, remat, chunks=1, fused="auto",
         update_chunks=chunks,
         compute_dtype=dtype,
         fused_trunk=fused,
-        fused_block_rows=block_rows,
+        **({"fused_block_rows": block_rows} if block_rows else {}),
     )
     algo = MAPPO(cfg, EnvConfig())
     ts = algo.init_state(jax.random.PRNGKey(0))
+    return algo, ts
+
+
+def _measure_train(algo, ts, n_envs, T, iters):
+    import jax
+
     train = jax.jit(algo.train_iteration)
     key = jax.random.PRNGKey(1)
-    # compile + warmup. NB: on the tunneled TPU backend block_until_ready can
-    # return before remote execution finishes, so synchronize with an actual
-    # device->host scalar fetch.
-    for _ in range(2):
-        ts, m = train(ts, key)
-        float(m.reward)
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        ts, m = train(ts, key)
-        float(m.reward)  # hard sync
-        times.append(time.time() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
-    return n_envs * T / dt
+
+    state = {"ts": ts}
+
+    def step():
+        state["ts"], m = train(state["ts"], key)
+        float(m.reward)  # hard sync (device->host scalar)
+
+    return _sync_median_rate(step, (), n_envs * T, iters)
+
+
+def _measure_rollout(algo, ts, n_envs, T, iters):
+    import jax
+
+    roll = jax.jit(lambda ts, k: algo.rollout(ts, k, n_envs))
+    key = jax.random.PRNGKey(2)
+
+    def step():
+        traj = roll(ts, key)
+        float(traj.rewards[0, 0, 0])  # sync on a small leaf
+
+    return _sync_median_rate(step, (), n_envs * T, iters)
+
+
+def _measure_env_only(n_envs, T, iters):
+    """Bare env throughput: scan `step_batch` T times over n_envs vmapped
+    envs with a fixed action batch — no policy, no storage."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcc_tpu.envs import EnvConfig, reset_batch, step_batch
+
+    env_cfg = EnvConfig()
+
+    @jax.jit
+    def run(key):
+        states = reset_batch(env_cfg, key, n_envs)
+        actions = jnp.full(
+            (n_envs, env_cfg.n_agents, 2), 0.3, jnp.float32
+        )
+
+        def body(s, _):
+            s, out = step_batch(env_cfg, s, actions)
+            return s, out.reward.sum()
+
+        _, rews = jax.lax.scan(body, states, None, length=T)
+        return rews.sum()
+
+    key = jax.random.PRNGKey(3)
+
+    def step():
+        float(run(key))  # scalar fetch = hard sync
+
+    return _sync_median_rate(step, (), n_envs * T, iters)
 
 
 def main():
     T = int(os.environ.get("BENCH_T", "150"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     only = os.environ.get("BENCH_DTYPE")  # float32|bfloat16 -> one config
 
     # The two standing configurations (see module docstring).
@@ -82,39 +154,54 @@ def main():
     parity_cfg = dict(
         n_envs=4096, dtype="float32", chunks=1, fused="auto", remat=False
     )
+    # env overrides reshape the headline configuration in every mode
+    headline_cfg.update(
+        n_envs=int(os.environ.get("BENCH_ENVS", headline_cfg["n_envs"])),
+        chunks=int(os.environ.get("BENCH_CHUNKS", headline_cfg["chunks"])),
+        fused=os.environ.get("BENCH_FUSED", headline_cfg["fused"]),
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+    )
+    block_rows = int(os.environ.get("BENCH_BLOCK_ROWS", "0"))  # 0 = config default
     if only:
-        base_cfg = headline_cfg if only.startswith("b") else parity_cfg
-        cfgs = [
-            dict(
-                base_cfg,
-                dtype=only,
-                n_envs=int(os.environ.get("BENCH_ENVS", base_cfg["n_envs"])),
-                chunks=int(
-                    os.environ.get("BENCH_CHUNKS", base_cfg["chunks"])
-                ),
-                fused=os.environ.get("BENCH_FUSED", base_cfg["fused"]),
-                remat=remat,
-            )
-        ]
+        base_cfg = headline_cfg if only.startswith("b") else dict(
+            parity_cfg,
+            n_envs=int(os.environ.get("BENCH_ENVS", parity_cfg["n_envs"])),
+            chunks=int(os.environ.get("BENCH_CHUNKS", parity_cfg["chunks"])),
+            fused=os.environ.get("BENCH_FUSED", parity_cfg["fused"]),
+            remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        )
+        cfgs = [dict(base_cfg, dtype=only)]
     else:
         cfgs = [headline_cfg, parity_cfg]
 
     results = []
-    for c in cfgs:
-        sps = _measure(
-            c["n_envs"], T, iters, c["dtype"], c["remat"], c["chunks"],
-            c["fused"],
+    phase_rates = {}
+    for i, c in enumerate(cfgs):
+        algo, ts = _build(
+            c["n_envs"], T, c["dtype"], c["remat"], c["chunks"], c["fused"],
+            block_rows,
         )
+        sps = _measure_train(algo, ts, c["n_envs"], T, iters)
         results.append((c, sps))
+        if i == 0 and os.environ.get("BENCH_SKIP_PHASES", "0") != "1":
+            # phase-isolated rates at the headline shape (BASELINE config #4)
+            phase_rates["rollout_steps_per_s"] = round(
+                _measure_rollout(algo, ts, c["n_envs"], T, iters), 1
+            )
+            phase_rates["env_only_steps_per_s"] = round(
+                _measure_env_only(c["n_envs"], T, iters), 1
+            )
 
     base_path = os.path.join(
         os.path.dirname(__file__), "benchmarks", "reference_baseline.json"
     )
     try:
         with open(base_path) as f:
-            base = json.load(f)["train_env_steps_per_s"]
+            ref = json.load(f)
+        base = ref["train_env_steps_per_s"]
+        env_base = ref.get("env_only_steps_per_s")
     except Exception:
-        base = None
+        base = env_base = None
 
     head_cfg, head_sps = results[0]
     line = {
@@ -129,6 +216,11 @@ def main():
         "remat": head_cfg["remat"],
         "episode_length": T,
     }
+    line.update(phase_rates)
+    if "env_only_steps_per_s" in phase_rates and env_base:
+        line["env_only_vs_baseline"] = round(
+            phase_rates["env_only_steps_per_s"] / env_base, 1
+        )
     for c, sps in results[1:]:
         line[f"{c['dtype']}_value"] = round(sps, 1)
         line[f"{c['dtype']}_vs_baseline"] = (

@@ -21,12 +21,7 @@ def make_algo(cfg: Dict[str, Any], env_cfg: EnvConfig, mesh=None):
     if "maddpg" in algo_file:
         from ..configs.loader import to_maddpg_config
 
-        if mesh is not None and mesh.devices.size > 1:
-            raise NotImplementedError(
-                "MADDPG currently runs single-device (its replay buffer is "
-                "not sharded); drop --mesh or use mappo"
-            )
-        return MADDPG(to_maddpg_config(cfg), env_cfg, scenario=scenario)
+        return MADDPG(to_maddpg_config(cfg), env_cfg, mesh=mesh, scenario=scenario)
     if "mappo" in algo_file:
         from ..configs.loader import to_algo_config
 

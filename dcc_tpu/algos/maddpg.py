@@ -39,6 +39,7 @@ from flax import struct
 from ..envs import EnvConfig, reset_batch, step_batch
 from ..envs.coverage import observation
 from ..models.rlkit_mlp import RlkitMlp
+from ..parallel import mesh as _mesh
 
 
 class MADDPGConfig(NamedTuple):
@@ -90,9 +91,32 @@ class MADDPGState:
 
 
 class MADDPG:
-    def __init__(self, cfg: MADDPGConfig, env_cfg: EnvConfig, scenario: str = "coverage"):
+    """Mesh note: under a ``jax.sharding.Mesh`` the env farm (env_states /
+    obs / OU noise) is sharded along the data axis while the replay buffer
+    and parameters stay replicated — each step all-gathers the E fresh
+    transition rows (a few KB) into the replicated buffer, and the
+    update is computed identically on every device from the replicated
+    buffer (no gradient psum needed; results are bit-identical to a
+    single-device run). This is the "replicated buffer + sharded
+    collection" design: collection is the MADDPG throughput term (the
+    reference steps envs serially, ``maddpg.py:72-103``), the 256-row
+    update is not worth sharding."""
+
+    def __init__(
+        self,
+        cfg: MADDPGConfig,
+        env_cfg: EnvConfig,
+        mesh=None,
+        scenario: str = "coverage",
+    ):
         self.cfg = cfg
         self.env_cfg = env_cfg
+        self.mesh = mesh
+        if mesh is not None and cfg.n_envs % mesh.devices.size:
+            raise ValueError(
+                f"n_envs ({cfg.n_envs}) must divide over the mesh "
+                f"({mesh.devices.size} devices)"
+            )
         # scenario dispatch (see MAPPO.__init__)
         self.scenario = scenario
         if scenario == "coverage":
@@ -191,6 +215,13 @@ class MADDPG:
 
         def body(st: MADDPGState, k):
             k_ou, k_rand = jax.random.split(k)
+            # keep the env farm sharded over the mesh's data axis (no-op
+            # single-device); the buffer writes below gather the E rows
+            st = st.replace(
+                env_states=_mesh.constrain(st.env_states, self.mesh, 0),
+                obs=_mesh.constrain(st.obs, self.mesh, 0),
+                ou_state=_mesh.constrain(st.ou_state, self.mesh, 0),
+            )
             det_act = self._actors(st.actor_params, st.obs)  # (E, N, a)
             ou = self._ou_step(k_ou, st.ou_state)
             rand_act = jax.random.uniform(

@@ -131,13 +131,16 @@ class MAPPOConfig(NamedTuple):
     # the inter-layer activation HBM round-trips.
     fused_trunk: str = "auto"
     # Row-tile size of the fused trunk kernel's grid (rows staged into VMEM
-    # per program).
-    fused_block_rows: int = 512
-    # In bfloat16 mode, store the trajectory's observation rows in bf16
-    # (numerically free: the PPO update casts obs to bf16 at the trunk input
-    # anyway, so the stored copy is the same bits either way) — halves the
-    # dominant rollout buffer ((T+1, E, A, obs_dim)), the HBM lever for
-    # 32k+ env batches. Ignored in float32 mode.
+    # per program). 1024 is the measured-fastest tile for the headline
+    # 16k-env configuration (benchmarks/PERF_NOTES.md).
+    fused_block_rows: int = 1024
+    # In bfloat16 mode, store the trajectory's observation rows in bf16 —
+    # halves the dominant rollout buffer ((T+1, E, A, obs_dim)), the HBM
+    # lever for 32k+ env batches. An approximation, not bit-free: feature-
+    # norm statistics are computed in f32 from the stored obs (both the
+    # stock flax LayerNorm and the fused kernel), so bf16-rounded storage
+    # perturbs the update numerics by one input rounding. Well within bf16
+    # compute noise; set false to keep f32 storage. Ignored in f32 mode.
     store_obs_bf16: bool = True
 
 
@@ -248,7 +251,28 @@ class MAPPO:
         # path (the separated path vmaps the per-agent update).
         single_dev = mesh is None or mesh.devices.size == 1
         if cfg.fused_trunk in ("on", "interpret"):
-            fused = not use_cnn
+            # Forcing the kernel must not silently no-op or mis-shard: the
+            # trunk has no CNN variant, the separated path vmaps the
+            # per-agent update over stacked params (the kernel isn't built
+            # for a batched-weight axis), and under a multi-device GSPMD
+            # mesh the opaque custom call blocks XLA's env-axis sharding.
+            if use_cnn:
+                raise ValueError(
+                    "fused_trunk='on' has no CNN variant (rank-3 obs); use "
+                    "fused_trunk='auto'/'off'"
+                )
+            if not cfg.share_policy:
+                raise ValueError(
+                    "fused_trunk='on' requires share_policy=True (the "
+                    "separated path vmaps per-agent params over the trunk)"
+                )
+            if not single_dev:
+                raise ValueError(
+                    "fused_trunk='on' is single-device only (the Pallas "
+                    "custom call blocks env-axis GSPMD sharding); use "
+                    "fused_trunk='auto' under a mesh"
+                )
+            fused = True
         elif cfg.fused_trunk == "auto":
             # Measured on v5e (benchmarks/PERF_NOTES.md): in bf16 the fused
             # kernel matches XLA at 4k envs and wins 13% at 16k envs (it
@@ -325,11 +349,6 @@ class MAPPO:
                 "update_chunks (gradient accumulation) supports the "
                 "feed-forward shared-policy num_mini_batch=1 path"
             )
-        if self._sep and (self._recurrent or cfg.num_mini_batch != 1 or cfg.use_popart):
-            raise NotImplementedError(
-                "separated (per-agent) policies currently support the "
-                "feed-forward num_mini_batch=1 non-popart path"
-            )
 
         updates_per_iter = cfg.ppo_epoch * cfg.num_mini_batch
 
@@ -373,22 +392,16 @@ class MAPPO:
         if self._recurrent:
             h = jnp.zeros((1, self.cfg.recurrent_n, self.cfg.hidden_size))
             m = jnp.ones((1, 1))
-            actor_params = self.actor.init(k_a, dummy_obs, h, m)
-            critic_params = self.critic.init(k_c, dummy_cent, h, m)
-        elif self._sep:
+            init_actor = lambda k: self.actor.init(k, dummy_obs, h, m)
+            init_critic = lambda k: self.critic.init(k, dummy_cent, h, m)
+        else:
+            init_actor = lambda k: self.actor.init(k, dummy_obs)
+            init_critic = lambda k: self.critic.init(k, dummy_cent)
+        if self._sep:
             # per-agent parameter stacks (make_algo per-agent MAPPO path)
             n = self.env_cfg.n_agents
-            actor_params = jax.vmap(lambda k: self.actor.init(k, dummy_obs))(
-                jax.random.split(k_a, n)
-            )
-            critic_params = jax.vmap(lambda k: self.critic.init(k, dummy_cent))(
-                jax.random.split(k_c, n)
-            )
-        else:
-            actor_params = self.actor.init(k_a, dummy_obs)
-            critic_params = self.critic.init(k_c, dummy_cent)
-        if self._sep:
-            n = self.env_cfg.n_agents
+            actor_params = jax.vmap(init_actor)(jax.random.split(k_a, n))
+            critic_params = jax.vmap(init_critic)(jax.random.split(k_c, n))
             actor_opt = jax.vmap(self.actor_tx.init)(actor_params)
             critic_opt = jax.vmap(self.critic_tx.init)(critic_params)
             vnorm = (
@@ -396,17 +409,25 @@ class MAPPO:
                 if self.cfg.use_valuenorm
                 else None
             )
+            popart = (
+                jax.vmap(lambda _: PA.init())(jnp.arange(n))
+                if self.cfg.use_popart
+                else None
+            )
         else:
+            actor_params = init_actor(k_a)
+            critic_params = init_critic(k_c)
             actor_opt = self.actor_tx.init(actor_params)
             critic_opt = self.critic_tx.init(critic_params)
             vnorm = VN.init() if self.cfg.use_valuenorm else None
+            popart = PA.init() if self.cfg.use_popart else None
         return TrainState(
             actor_params=actor_params,
             critic_params=critic_params,
             actor_opt=actor_opt,
             critic_opt=critic_opt,
             vnorm=vnorm,
-            popart=PA.init() if self.cfg.use_popart else None,
+            popart=popart,
             update_count=jnp.zeros((), jnp.int32),
             iteration=jnp.zeros((), jnp.int32),
         )
@@ -445,15 +466,20 @@ class MAPPO:
         return v, h
 
     def _denorm(self, ts: TrainState, v: jax.Array) -> jax.Array:
+        def per_agent(fn, st):
+            # per-agent stacked normalizer states: map over the agent axis
+            # (v: (..., A, 1), state leaves: (A, ...))
+            vm = jnp.moveaxis(v, -2, 0)
+            out = jax.vmap(fn)(st, vm)
+            return jnp.moveaxis(out, 0, -2)
+
         if self.cfg.use_valuenorm:
             if self._sep:
-                # per-agent stacked ValueNorm states: map over the agent axis
-                # (v: (..., A, 1), state leaves: (A, ...))
-                vm = jnp.moveaxis(v, -2, 0)
-                out = jax.vmap(VN.denormalize)(ts.vnorm, vm)
-                return jnp.moveaxis(out, 0, -2)
+                return per_agent(VN.denormalize, ts.vnorm)
             return VN.denormalize(ts.vnorm, v)
         if self.cfg.use_popart:
+            if self._sep:
+                return per_agent(PA.denormalize, ts.popart)
             return PA.denormalize(ts.popart, v)
         return v
 
@@ -479,7 +505,11 @@ class MAPPO:
         states = _mesh.constrain(states, self.mesh, 0)  # shard envs over 'data'
         obs0 = jax.vmap(lambda s: self._obs_fn(env_cfg, s))(states)
         L, H = self.cfg.recurrent_n, self.cfg.hidden_size
-        if self._recurrent:
+        if self._recurrent and self._sep:
+            # per-agent GRUs with per-agent params: agent-major hidden stacks
+            h_actor0 = jnp.zeros((n_agents, n_envs, L, H), jnp.float32)
+            h_critic0 = jnp.zeros((n_agents, n_envs, L, H), jnp.float32)
+        elif self._recurrent:
             h_actor0 = jnp.zeros((n_envs * n_agents, L, H), jnp.float32)
             h_critic0 = jnp.zeros((n_envs, L, H), jnp.float32)
         else:
@@ -493,7 +523,10 @@ class MAPPO:
             # mask-reset): the chunk warm-start rows the recurrent generator
             # gathers (shared_buffer.py:448-449 uses rnn_states[ind], the
             # state *entering* step ind)
-            if self._recurrent:
+            if self._recurrent and self._sep:
+                h_a_pre = jnp.swapaxes(h_a, 0, 1)  # (E, A, L, H)
+                h_c_pre = jnp.swapaxes(h_c, 0, 1)
+            elif self._recurrent:
                 h_a_pre = h_a.reshape(n_envs, n_agents, L, H)
                 h_c_pre = h_c
             else:
@@ -501,7 +534,23 @@ class MAPPO:
             # decentralized actors on (E*A, D)
             flat_obs = obs.reshape(n_envs * n_agents, *self._obs_shape)
             cent = obs.reshape(n_envs, -1)
-            if self._recurrent:
+            if self._recurrent and self._sep:
+                # per-agent recurrent actors/critics (SeparatedReplayBuffer
+                # rollout layout: each agent tracks its own hidden states)
+                k_agents = jax.random.split(k_act, n_agents)
+                action, logp, h_a = jax.vmap(
+                    lambda p, k, o, h: self.act(
+                        p, k, o, deterministic, h, mask
+                    ),
+                    in_axes=(0, 0, 1, 0),
+                    out_axes=(1, 1, 0),
+                )(ts.actor_params, k_agents, obs, h_a)
+                v, h_c = jax.vmap(
+                    lambda p, h: self.value(p, cent, h, mask),
+                    in_axes=(0, 0),
+                    out_axes=(1, 0),
+                )(ts.critic_params, h_c)  # v: (E, A, 1)
+            elif self._recurrent:
                 agent_mask = jnp.broadcast_to(
                     mask[:, None, :], (n_envs, n_agents, 1)
                 ).reshape(n_envs * n_agents, 1)
@@ -549,7 +598,14 @@ class MAPPO:
         ) = jax.lax.scan(
             body, (states, obs0, key, h_actor0, h_critic0, mask0), None, length=T
         )
-        if self._recurrent:
+        if self._recurrent and self._sep:
+            cent_T = obs_T.reshape(n_envs, -1)
+            v_T, _ = jax.vmap(
+                lambda p, h: self.value(p, cent_T, h, mask_T),
+                in_axes=(0, 0),
+                out_axes=(1, 0),
+            )(ts.critic_params, h_cT)  # (E, A, 1)
+        elif self._recurrent:
             v_T, _ = self.value(
                 ts.critic_params, obs_T.reshape(n_envs, -1), h_cT, mask_T
             )
@@ -582,13 +638,26 @@ class MAPPO:
         cfg = self.cfg
         values = self._denorm(ts, traj.values)
         bad_masks = traj.bad_masks if cfg.use_proper_time_limits else None
+        rewards, masks = traj.rewards, traj.masks
+        if self._sep:
+            # separated critics: values carry a per-agent axis (T+1, E, A, 1)
+            # while rewards/masks are per-env (T, E, 1) — give them an
+            # explicit broadcast agent axis. (Without it, numpy-style rank
+            # promotion would mis-pair the env axis of the masks with the
+            # agent axis of the values whenever E == A.)
+            rewards = rewards[:, :, None, :]
+            masks = masks[:, :, None, :]
+            if bad_masks is not None:
+                bad_masks = bad_masks[:, :, None, :]
         if cfg.use_gae:
             # "auto": fused Pallas kernel on a single TPU chip; under a
             # multi-device GSPMD mesh stay with lax.scan (an opaque custom
             # call would force XLA to gather the env-sharded trajectory).
             # The bad_masks variant stays on the scan path.
             single_dev = self.mesh is None or self.mesh.devices.size == 1
-            use_pallas = bad_masks is None and (
+            # the kernel computes the per-env layout; separated (per-agent
+            # value axis) stays on the broadcasting scan path
+            use_pallas = bad_masks is None and not self._sep and (
                 cfg.gae_backend == "pallas"
                 or (
                     cfg.gae_backend == "auto"
@@ -598,18 +667,18 @@ class MAPPO:
             )
             gae_fn = compute_gae_pallas if use_pallas else compute_gae
             adv, returns = gae_fn(
-                traj.rewards,
+                rewards,
                 values,
-                traj.masks,
+                masks,
                 cfg.gamma,
                 cfg.gae_lambda,
                 **({} if bad_masks is None else {"bad_masks": bad_masks}),
             )
         else:
             returns = discounted_returns(
-                traj.rewards,
+                rewards,
                 values[-1],
-                traj.masks,
+                masks,
                 cfg.gamma,
                 bad_masks=bad_masks,
                 values=values[:-1] if bad_masks is not None else None,
@@ -624,101 +693,61 @@ class MAPPO:
         self, ts: TrainState, key: jax.Array, traj: Trajectory, adv, returns
     ):
         """Per-agent PPO updates with per-agent parameters/optimizers/value
-        normalizers -- the make_algo + SeparatedReplayBuffer path of the
-        reference (``algos/make_algo.py:26-46``, ``buffer/separated_buffer.py``),
-        vmapped over the agent axis. Advantages are normalized per agent
-        (each agent owns its buffer)."""
+        normalizers (or PopArt heads) -- the make_algo + SeparatedReplayBuffer
+        path of the reference (``algos/make_algo.py:26-46``,
+        ``buffer/separated_buffer.py:15-414``), vmapped over the agent axis.
+        Each agent owns its buffer: advantages are normalized per agent and
+        each agent draws its own per-epoch minibatch permutation (the
+        reference's per-buffer ``torch.randperm``). Supports the full
+        per-agent generator family: feed-forward rows with
+        ``num_mini_batch >= 1`` (``separated_buffer.py:215-263``), recurrent
+        L-step chunks with hidden-state warm starts
+        (``separated_buffer.py:352-414``), and naive-recurrent as the L=T
+        special case (``:265-350``)."""
         cfg = self.cfg
         T, E, A, _ = traj.actions.shape
         # adv/returns/values carry the per-agent axis: (T, E, A, 1)
         adv_mean = adv.mean(axis=(0, 1), keepdims=True)
         adv_std = adv.std(axis=(0, 1), keepdims=True)
         adv_n = (adv - adv_mean) / (adv_std + 1e-5)
-        cent = traj.obs[:-1].reshape(T, E, A * self.obs_dim)
+        net_in = (
+            (lambda x: x.astype(self._net_dtype))
+            if self._net_dtype is not None
+            else (lambda x: x)
+        )
+        cent = net_in(traj.obs[:-1].reshape(T, E, A * self.obs_dim))
 
         move = lambda x: jnp.moveaxis(x, 2, 0)  # -> (A, T, E, .)
-        data = (
-            move(traj.obs[:-1]),
-            move(traj.actions),
-            move(traj.log_probs),
-            move(adv_n),
-            move(traj.values[:-1]),
-            move(returns),
+        rep = lambda x: jnp.broadcast_to(x[None], (A,) + x.shape)  # team-shared
+        data = dict(
+            obs=move(net_in(traj.obs[:-1])),
+            act=move(traj.actions),
+            logp=move(traj.log_probs),
+            adv=move(adv_n),
+            cent=rep(cent),
+            vpred=move(traj.values[:-1]),
+            ret=move(returns),
+            mask=rep(traj.masks[:-1]),
         )
-
-        def one_agent(a_params, c_params, a_opt, c_opt, vnorm_i, d):
-            obs_i, act_i, logp_i, adv_i, vpred_i, ret_i = d
-
-            def epoch(carry, _):
-                ap, cp, ao, co, vn, cnt = carry
-                if cfg.use_valuenorm:
-                    vn = VN.update(vn, ret_i)
-                    ret_t = VN.normalize(vn, ret_i)
-                else:
-                    ret_t = ret_i
-
-                def loss_fn(ap, cp):
-                    out, _ = self.actor.apply(ap, obs_i)
-                    new_logp, ent = self._eval_dist(out, act_i)
-                    dist_entropy = ent.sum(-1).mean()
-                    ratio = jnp.exp(new_logp - logp_i)
-                    surr1 = ratio * adv_i
-                    surr2 = (
-                        jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
-                        * adv_i
-                    )
-                    policy_loss = -jnp.sum(
-                        jnp.minimum(surr1, surr2), axis=-1, keepdims=True
-                    ).mean()
-                    values = self.value(cp, cent)
-                    v_clip = vpred_i + jnp.clip(
-                        values - vpred_i, -cfg.clip_param, cfg.clip_param
-                    )
-                    err = ret_t - values
-                    err_c = ret_t - v_clip
-                    lf = (
-                        (lambda e: _huber(e, cfg.huber_delta))
-                        if cfg.use_huber_loss
-                        else _mse
-                    )
-                    vl = (
-                        jnp.maximum(lf(err), lf(err_c))
-                        if cfg.use_clipped_value_loss
-                        else lf(err)
-                    )
-                    value_loss = vl.mean()
-                    total = (
-                        policy_loss
-                        - dist_entropy * cfg.entropy_coef
-                        + value_loss * cfg.value_loss_coef
-                    )
-                    return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
-
-                (_, aux), grads = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
-                )(ap, cp)
-                a_grads, c_grads = grads
-                a_norm = optax.global_norm(a_grads)
-                c_norm = optax.global_norm(c_grads)
-                a_up, ao = self.actor_tx.update(a_grads, ao, ap)
-                ap = optax.apply_updates(ap, a_up)
-                c_up, co = self.critic_tx.update(c_grads, co, cp)
-                cp = optax.apply_updates(cp, c_up)
-                pl, vl_, de, rt = aux
-                return (ap, cp, ao, co, vn, cnt + 1), jnp.stack(
-                    [vl_, pl, de, a_norm, c_norm, rt]
-                )
-
-            carry = (a_params, c_params, a_opt, c_opt, vnorm_i, jnp.zeros((), jnp.int32))
-            carry, ms = jax.lax.scan(epoch, carry, None, length=cfg.ppo_epoch)
-            ap, cp, ao, co, vn, _ = carry
-            return ap, cp, ao, co, vn, ms.mean(axis=0)
-
+        if self._recurrent:
+            data["h_a"] = move(traj.actor_h)  # (A, T, E, rec_n, H)
+            data["h_c"] = move(traj.critic_h)
         vnorm = ts.vnorm if cfg.use_valuenorm else jax.vmap(lambda _: VN.init())(
             jnp.arange(A)
         )
-        ap, cp, ao, co, vn, ms = jax.vmap(one_agent)(
-            ts.actor_params, ts.critic_params, ts.actor_opt, ts.critic_opt, vnorm, data
+        popart = ts.popart if cfg.use_popart else jax.vmap(lambda _: PA.init())(
+            jnp.arange(A)
+        )
+        keys = jax.random.split(key, A)
+        ap, cp, ao, co, vn, pa, ms = jax.vmap(self._one_agent_update)(
+            ts.actor_params,
+            ts.critic_params,
+            ts.actor_opt,
+            ts.critic_opt,
+            vnorm,
+            popart,
+            keys,
+            data,
         )
         ts = ts.replace(
             actor_params=ap,
@@ -726,10 +755,190 @@ class MAPPO:
             actor_opt=ao,
             critic_opt=co,
             vnorm=vn if cfg.use_valuenorm else None,
-            update_count=ts.update_count + cfg.ppo_epoch,
+            popart=pa if cfg.use_popart else None,
+            update_count=ts.update_count + cfg.ppo_epoch * cfg.num_mini_batch,
             iteration=ts.iteration + 1,
         )
         return ts, ms.mean(axis=0)
+
+    def _one_agent_update(
+        self, a_params, c_params, a_opt, c_opt, vnorm, popart, key, data
+    ):
+        """One agent's full epoch/minibatch PPO loop over its own (T, E, .)
+        buffer — the per-agent ``trainer.train`` of the reference's separated
+        path. Runs under ``vmap`` over the agent axis; reuses the shared
+        path's minibatch steps (``_ff_minibatch_update`` /
+        ``_seq_minibatch_update``) on agent-local fields."""
+        cfg = self.cfg
+        obs_i = data["obs"]
+        T, E = obs_i.shape[:2]
+        field_keys = ("obs", "act", "logp", "adv", "cent", "vpred", "ret", "mask")
+        carry = (
+            a_params,
+            c_params,
+            a_opt,
+            c_opt,
+            vnorm,
+            popart,
+            jnp.zeros((), jnp.int32),
+        )
+        if self._recurrent:
+            L = cfg.data_chunk_length if cfg.use_recurrent_policy else T
+            n_chunks = T // L
+            C = E * n_chunks
+            if C < cfg.num_mini_batch:
+                raise ValueError(
+                    f"num_mini_batch ({cfg.num_mini_batch}) exceeds the "
+                    f"per-agent data chunks ({C})"
+                )
+            mb = C // cfg.num_mini_batch
+            # (T, E, .) -> (E, T, .) -> (C, L, .): per-env time slices, the
+            # separated recurrent_generator's chunking (no agent axis)
+            chunks = lambda x: jnp.moveaxis(x, 0, 1).reshape(C, L, *x.shape[2:])
+            fields = tuple(chunks(data[k]) for k in field_keys)
+            hshape = (C, cfg.recurrent_n, cfg.hidden_size)
+            h_a0 = jnp.moveaxis(data["h_a"], 0, 1)[:, ::L].reshape(hshape)
+            h_c0 = jnp.moveaxis(data["h_c"], 0, 1)[:, ::L].reshape(hshape)
+
+            def epoch(carry, key_e):
+                perm = jax.random.permutation(key_e, C)[: mb * cfg.num_mini_batch]
+                perm = perm.reshape(cfg.num_mini_batch, mb)
+
+                def inner(carry, idx):
+                    tm = lambda x: jnp.swapaxes(x[idx], 0, 1)  # (L, mb, .)
+                    mb_data = tuple(tm(f) for f in fields) + (
+                        h_a0[idx],
+                        h_c0[idx],
+                    )
+                    return self._seq_minibatch_update(carry, mb_data)
+
+                return jax.lax.scan(inner, carry, perm)
+
+        else:
+            B = T * E
+            rows = tuple(
+                data[k].reshape(
+                    B, *(self._obs_shape if k == "obs" else (-1,))
+                )
+                for k in field_keys
+            )
+            mb = B // cfg.num_mini_batch
+
+            def epoch(carry, key_e):
+                if cfg.num_mini_batch == 1:
+                    carry, m = self._ff_minibatch_update(carry, rows)
+                    return carry, m[None]
+                perm = jax.random.permutation(key_e, B)[: mb * cfg.num_mini_batch]
+                perm = perm.reshape(cfg.num_mini_batch, mb)
+
+                def inner(carry, ia):
+                    return self._ff_minibatch_update(
+                        carry, tuple(r[ia] for r in rows)
+                    )
+
+                return jax.lax.scan(inner, carry, perm)
+
+        keys = jax.random.split(key, cfg.ppo_epoch)
+        carry, ms = jax.lax.scan(epoch, carry, keys)
+        ap, cp, ao, co, vn, pa, _ = carry
+        return ap, cp, ao, co, vn, pa, ms.reshape(-1, 6).mean(axis=0)
+
+    def _seq_minibatch_update(self, carry, mb_data):
+        """One optimizer step on one minibatch of (L, mb, .) chunk sequences
+        with hidden-state warm starts — the recurrent analog of
+        ``_ff_minibatch_update`` (reference ``ppo_update`` on
+        ``recurrent_generator`` samples). Shared by the shared-policy
+        recurrent path and (under vmap) the separated per-agent one."""
+        cfg = self.cfg
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b, ha_b, hc_b = (
+            mb_data
+        )
+
+        if cfg.use_valuenorm:
+            vnorm = VN.update(vnorm, ret_b)
+            ret_target = VN.normalize(vnorm, ret_b)
+        elif cfg.use_popart:
+            kernel = critic_params["params"]["v_out"]["kernel"]
+            bias = critic_params["params"]["v_out"]["bias"]
+            popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
+            new_head = {
+                **critic_params["params"]["v_out"],
+                "kernel": kernel,
+                "bias": bias,
+            }
+            critic_params = {
+                **critic_params,
+                "params": {**critic_params["params"], "v_out": new_head},
+            }
+            ret_target = PA.normalize(popart, ret_b)
+        else:
+            ret_target = ret_b
+
+        def loss_fn(a_params, c_params):
+            out, _ = self.actor.apply(
+                a_params, obs_b, ha_b, mask_b, method="sequence"
+            )
+            new_logp, ent = self._eval_dist(out, act_b)
+            dist_entropy = ent.sum(-1).mean()
+            ratio = jnp.exp(new_logp - logp_b)
+            surr1 = ratio * adv_b
+            surr2 = (
+                jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+                * adv_b
+            )
+            policy_loss = -jnp.sum(
+                jnp.minimum(surr1, surr2), axis=-1, keepdims=True
+            ).mean()
+            values, _ = self.critic.apply(
+                c_params, cent_b, hc_b, mask_b, method="sequence"
+            )
+            v_clip = vpred_b + jnp.clip(
+                values - vpred_b, -cfg.clip_param, cfg.clip_param
+            )
+            err = ret_target - values
+            err_c = ret_target - v_clip
+            lf = (
+                (lambda e: _huber(e, cfg.huber_delta))
+                if cfg.use_huber_loss
+                else _mse
+            )
+            vl = (
+                jnp.maximum(lf(err), lf(err_c))
+                if cfg.use_clipped_value_loss
+                else lf(err)
+            )
+            value_loss = vl.mean()
+            total = (
+                policy_loss
+                - dist_entropy * cfg.entropy_coef
+                + value_loss * cfg.value_loss_coef
+            )
+            return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
+
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(actor_params, critic_params)
+        a_grads, c_grads = grads
+        a_norm = optax.global_norm(a_grads)
+        c_norm = optax.global_norm(c_grads)
+        a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+        actor_params = optax.apply_updates(actor_params, a_updates)
+        c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+        critic_params = optax.apply_updates(critic_params, c_updates)
+        policy_loss, value_loss, dist_entropy, ratio = aux
+        metrics = jnp.stack(
+            [value_loss, policy_loss, dist_entropy, a_norm, c_norm, ratio]
+        )
+        return (
+            actor_params,
+            critic_params,
+            a_opt,
+            c_opt,
+            vnorm,
+            popart,
+            count + 1,
+        ), metrics
 
     def _update_recurrent(
         self, ts: TrainState, key: jax.Array, traj: Trajectory, adv_n, returns
@@ -784,96 +993,7 @@ class MAPPO:
             C, cfg.recurrent_n, cfg.hidden_size
         )
 
-        def minibatch_update(carry, mb_data):
-            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
-            obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b, ha_b, hc_b = (
-                mb_data
-            )
-
-            if cfg.use_valuenorm:
-                vnorm = VN.update(vnorm, ret_b)
-                ret_target = VN.normalize(vnorm, ret_b)
-            elif cfg.use_popart:
-                kernel = critic_params["params"]["v_out"]["kernel"]
-                bias = critic_params["params"]["v_out"]["bias"]
-                popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
-                new_head = {
-                    **critic_params["params"]["v_out"],
-                    "kernel": kernel,
-                    "bias": bias,
-                }
-                critic_params = {
-                    **critic_params,
-                    "params": {**critic_params["params"], "v_out": new_head},
-                }
-                ret_target = PA.normalize(popart, ret_b)
-            else:
-                ret_target = ret_b
-
-            def loss_fn(a_params, c_params):
-                out, _ = self.actor.apply(
-                    a_params, obs_b, ha_b, mask_b, method="sequence"
-                )
-                new_logp, ent = self._eval_dist(out, act_b)
-                dist_entropy = ent.sum(-1).mean()
-                ratio = jnp.exp(new_logp - logp_b)
-                surr1 = ratio * adv_b
-                surr2 = (
-                    jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
-                    * adv_b
-                )
-                policy_loss = -jnp.sum(
-                    jnp.minimum(surr1, surr2), axis=-1, keepdims=True
-                ).mean()
-                values, _ = self.critic.apply(
-                    c_params, cent_b, hc_b, mask_b, method="sequence"
-                )
-                v_clip = vpred_b + jnp.clip(
-                    values - vpred_b, -cfg.clip_param, cfg.clip_param
-                )
-                err = ret_target - values
-                err_c = ret_target - v_clip
-                lf = (
-                    (lambda e: _huber(e, cfg.huber_delta))
-                    if cfg.use_huber_loss
-                    else _mse
-                )
-                vl = (
-                    jnp.maximum(lf(err), lf(err_c))
-                    if cfg.use_clipped_value_loss
-                    else lf(err)
-                )
-                value_loss = vl.mean()
-                total = (
-                    policy_loss
-                    - dist_entropy * cfg.entropy_coef
-                    + value_loss * cfg.value_loss_coef
-                )
-                return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
-
-            (_, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(actor_params, critic_params)
-            a_grads, c_grads = grads
-            a_norm = optax.global_norm(a_grads)
-            c_norm = optax.global_norm(c_grads)
-            a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
-            actor_params = optax.apply_updates(actor_params, a_updates)
-            c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
-            critic_params = optax.apply_updates(critic_params, c_updates)
-            policy_loss, value_loss, dist_entropy, ratio = aux
-            metrics = jnp.stack(
-                [value_loss, policy_loss, dist_entropy, a_norm, c_norm, ratio]
-            )
-            return (
-                actor_params,
-                critic_params,
-                a_opt,
-                c_opt,
-                vnorm,
-                popart,
-                count + 1,
-            ), metrics
+        minibatch_update = self._seq_minibatch_update
 
         def epoch(carry, key_e):
             perm = jax.random.permutation(key_e, C)[: mb * cfg.num_mini_batch]
@@ -985,7 +1105,15 @@ class MAPPO:
 
             def chunk_loss(a_params, c_params, chunk):
                 obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b = chunk
-                out, _ = self.actor.apply(a_params, obs_b)
+                if cfg.use_remat:
+                    # load-bearing when the fused trunk is off (e.g. under a
+                    # multi-chip mesh): without it each chunk's trunk
+                    # activations stay live through the backward pass
+                    out, _ = jax.checkpoint(
+                        lambda p, o: self.actor.apply(p, o)
+                    )(a_params, obs_b)
+                else:
+                    out, _ = self.actor.apply(a_params, obs_b)
                 new_logp, ent = self._eval_dist(out, act_b)
                 dist_entropy = ent.sum(-1).mean()
                 ratio = jnp.exp(new_logp - logp_b)
@@ -997,7 +1125,10 @@ class MAPPO:
                 policy_loss = -jnp.sum(
                     jnp.minimum(surr1, surr2), axis=-1, keepdims=True
                 ).mean()
-                values = self.value(c_params, cent_b)
+                if cfg.use_remat:
+                    values = jax.checkpoint(self.value)(c_params, cent_b)
+                else:
+                    values = self.value(c_params, cent_b)
                 ret_t = norm_ret(ret_b)
                 v_clip = vpred_b + jnp.clip(
                     values - vpred_b, -cfg.clip_param, cfg.clip_param
@@ -1126,115 +1257,14 @@ class MAPPO:
                 traj.masks[:-1],
             )
             batch = _mesh.constrain(batch, self.mesh, 1)
-            obs_rows = act_rows = logp_rows = adv_rows = None
-            cent_rows = vpred_rows = ret_rows = None
+            rows = None
         else:
-            # flatten to (T*E*A) rows. The reference's feed_forward_generator
-            # flattens share_obs/value_preds/returns over the agent axis too
-            # and indexes EVERY field with the same permutation
-            # (shared_buffer.py:239-256), keeping actor and critic samples
-            # index-aligned per minibatch — so the critic rows here are the
-            # per-agent duplicated env rows, gathered by the same indices.
-            bcast = lambda x: jnp.broadcast_to(
-                x[:, :, None, :], (T, E, A, x.shape[-1])
-            ).reshape(T * E * A, x.shape[-1])
-            obs_rows = net_in(traj.obs[:-1].reshape(T * E * A, *self._obs_shape))
-            act_rows = traj.actions.reshape(T * E * A, -1)
-            logp_rows = traj.log_probs.reshape(T * E * A, -1)
-            adv_rows = bcast(adv_n)
-            cent_rows = net_in(
-                bcast(traj.obs[:-1].reshape(T, E, A * self.obs_dim))
-            )
-            vpred_rows = bcast(traj.values[:-1])
-            ret_rows = bcast(returns)
-            mask_rows = bcast(traj.masks[:-1])
+            # flatten to (T*E*A) rows in reference generator order — see
+            # _ff_rows; every field is gathered by the same permutation
+            rows = self._ff_rows(traj, adv_n, returns)
             batch = None
 
-        def minibatch_update(carry, mb):
-            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
-            obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b = mb
-
-            # ValueNorm/PopArt update BEFORE normalize (mappo.py:106-107).
-            if cfg.use_valuenorm:
-                vnorm = VN.update(vnorm, ret_b)
-                ret_target = VN.normalize(vnorm, ret_b)
-            elif cfg.use_popart:
-                kernel = critic_params["params"]["v_out"]["kernel"]
-                bias = critic_params["params"]["v_out"]["bias"]
-                popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
-                new_head = {**critic_params["params"]["v_out"], "kernel": kernel, "bias": bias}
-                critic_params = {
-                    **critic_params,
-                    "params": {**critic_params["params"], "v_out": new_head},
-                }
-                ret_target = PA.normalize(popart, ret_b)
-            else:
-                ret_target = ret_b
-
-            def loss_fn(a_params, c_params):
-                if cfg.use_remat:
-                    out, _ = jax.checkpoint(
-                        lambda p, o: self.actor.apply(p, o)
-                    )(a_params, obs_b)
-                else:
-                    out, _ = self.actor.apply(a_params, obs_b)
-                new_logp, ent = self._eval_dist(out, act_b)
-                # all-ones active masks: mean over rows of per-dim sums
-                # (act.py:174-181)
-                dist_entropy = ent.sum(-1).mean()
-
-                ratio = jnp.exp(new_logp - logp_b)
-                surr1 = ratio * adv_b
-                surr2 = (
-                    jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv_b
-                )
-                policy_loss = -jnp.sum(
-                    jnp.minimum(surr1, surr2), axis=-1, keepdims=True
-                ).mean()
-
-                if cfg.use_remat:
-                    values = jax.checkpoint(self.value)(c_params, cent_b)
-                else:
-                    values = self.value(c_params, cent_b)
-                v_clip = vpred_b + jnp.clip(
-                    values - vpred_b, -cfg.clip_param, cfg.clip_param
-                )
-                err = ret_target - values
-                err_c = ret_target - v_clip
-                lf = (lambda e: _huber(e, cfg.huber_delta)) if cfg.use_huber_loss else _mse
-                vl = jnp.maximum(lf(err), lf(err_c)) if cfg.use_clipped_value_loss else lf(err)
-                value_loss = vl.mean()
-
-                total = (
-                    policy_loss
-                    - dist_entropy * cfg.entropy_coef
-                    + value_loss * cfg.value_loss_coef
-                )
-                return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
-
-            (_, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                actor_params, critic_params
-            )
-            a_grads, c_grads = grads
-            a_norm = optax.global_norm(a_grads)
-            c_norm = optax.global_norm(c_grads)
-            a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
-            actor_params = optax.apply_updates(actor_params, a_updates)
-            c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
-            critic_params = optax.apply_updates(critic_params, c_updates)
-            policy_loss, value_loss, dist_entropy, ratio = aux
-            metrics = jnp.stack(
-                [value_loss, policy_loss, dist_entropy, a_norm, c_norm, ratio]
-            )
-            return (
-                actor_params,
-                critic_params,
-                a_opt,
-                c_opt,
-                vnorm,
-                popart,
-                count + 1,
-            ), metrics
+        minibatch_update = self._ff_minibatch_update
 
         def epoch(carry, key_e):
             if cfg.num_mini_batch == 1:
@@ -1248,16 +1278,7 @@ class MAPPO:
             perm = perm.reshape(cfg.num_mini_batch, mb)
 
             def inner(carry, ia):
-                mb_data = (
-                    obs_rows[ia],
-                    act_rows[ia],
-                    logp_rows[ia],
-                    adv_rows[ia],
-                    cent_rows[ia],
-                    vpred_rows[ia],
-                    ret_rows[ia],
-                    mask_rows[ia],
-                )
+                mb_data = tuple(r[ia] for r in rows)
                 return minibatch_update(carry, mb_data)
 
             return jax.lax.scan(inner, carry, perm)
@@ -1286,6 +1307,126 @@ class MAPPO:
         )
         m = metrics.reshape(-1, 6).mean(axis=0)
         return ts, m
+
+    def _ff_rows(self, traj: Trajectory, adv_n, returns):
+        """Flatten the trajectory into (T*E*A)-row fields exactly like the
+        reference's ``feed_forward_generator`` storage flatten
+        (``shared_buffer.py:239-256``): C-order over (time, env, agent), the
+        critic-side fields (share_obs / value_preds / returns / masks) as
+        the per-agent duplicated env rows, every field gatherable by one
+        shared permutation. Returns the tuple
+        (obs, actions, log_probs, adv, cent_obs, value_preds, returns,
+        masks)."""
+        cfg = self.cfg
+        T, E, A, _ = traj.actions.shape
+        net_in = (
+            (lambda x: x.astype(self._net_dtype))
+            if self._net_dtype is not None
+            else (lambda x: x)
+        )
+        bcast = lambda x: jnp.broadcast_to(
+            x[:, :, None, :], (T, E, A, x.shape[-1])
+        ).reshape(T * E * A, x.shape[-1])
+        return (
+            net_in(traj.obs[:-1].reshape(T * E * A, *self._obs_shape)),
+            traj.actions.reshape(T * E * A, -1),
+            traj.log_probs.reshape(T * E * A, -1),
+            bcast(adv_n),
+            net_in(bcast(traj.obs[:-1].reshape(T, E, A * self.obs_dim))),
+            bcast(traj.values[:-1]),
+            bcast(returns),
+            bcast(traj.masks[:-1]),
+        )
+
+    def _ff_minibatch_update(self, carry, mb):
+        """One optimizer step on one feed-forward minibatch — the loss/
+        gradient body of the reference's ``ppo_update`` (``mappo.py:133-187``)
+        with ValueNorm/PopArt stats updated BEFORE normalizing the returns
+        (``mappo.py:106-107``)."""
+        cfg = self.cfg
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b = mb
+
+        if cfg.use_valuenorm:
+            vnorm = VN.update(vnorm, ret_b)
+            ret_target = VN.normalize(vnorm, ret_b)
+        elif cfg.use_popart:
+            kernel = critic_params["params"]["v_out"]["kernel"]
+            bias = critic_params["params"]["v_out"]["bias"]
+            popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
+            new_head = {**critic_params["params"]["v_out"], "kernel": kernel, "bias": bias}
+            critic_params = {
+                **critic_params,
+                "params": {**critic_params["params"], "v_out": new_head},
+            }
+            ret_target = PA.normalize(popart, ret_b)
+        else:
+            ret_target = ret_b
+
+        def loss_fn(a_params, c_params):
+            if cfg.use_remat:
+                out, _ = jax.checkpoint(
+                    lambda p, o: self.actor.apply(p, o)
+                )(a_params, obs_b)
+            else:
+                out, _ = self.actor.apply(a_params, obs_b)
+            new_logp, ent = self._eval_dist(out, act_b)
+            # all-ones active masks: mean over rows of per-dim sums
+            # (act.py:174-181)
+            dist_entropy = ent.sum(-1).mean()
+
+            ratio = jnp.exp(new_logp - logp_b)
+            surr1 = ratio * adv_b
+            surr2 = (
+                jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv_b
+            )
+            policy_loss = -jnp.sum(
+                jnp.minimum(surr1, surr2), axis=-1, keepdims=True
+            ).mean()
+
+            if cfg.use_remat:
+                values = jax.checkpoint(self.value)(c_params, cent_b)
+            else:
+                values = self.value(c_params, cent_b)
+            v_clip = vpred_b + jnp.clip(
+                values - vpred_b, -cfg.clip_param, cfg.clip_param
+            )
+            err = ret_target - values
+            err_c = ret_target - v_clip
+            lf = (lambda e: _huber(e, cfg.huber_delta)) if cfg.use_huber_loss else _mse
+            vl = jnp.maximum(lf(err), lf(err_c)) if cfg.use_clipped_value_loss else lf(err)
+            value_loss = vl.mean()
+
+            total = (
+                policy_loss
+                - dist_entropy * cfg.entropy_coef
+                + value_loss * cfg.value_loss_coef
+            )
+            return total, (policy_loss, value_loss, dist_entropy, ratio.mean())
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            actor_params, critic_params
+        )
+        a_grads, c_grads = grads
+        a_norm = optax.global_norm(a_grads)
+        c_norm = optax.global_norm(c_grads)
+        a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+        actor_params = optax.apply_updates(actor_params, a_updates)
+        c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+        critic_params = optax.apply_updates(critic_params, c_updates)
+        policy_loss, value_loss, dist_entropy, ratio = aux
+        metrics = jnp.stack(
+            [value_loss, policy_loss, dist_entropy, a_norm, c_norm, ratio]
+        )
+        return (
+            actor_params,
+            critic_params,
+            a_opt,
+            c_opt,
+            vnorm,
+            popart,
+            count + 1,
+        ), metrics
 
     # ------------------------------------------------------------------
     # full iteration

@@ -23,21 +23,36 @@ import jax
 import numpy as np
 
 from .coverage import EnvConfig, observation, reset, step
-from .spaces import Box, Discrete
+from .spaces import Box, Discrete, MultiBinary, MultiDiscrete, TupleSpace
 from .vector import reset_batch, step_batch
+
+
+def _one_action_space(cfg: EnvConfig):
+    """The true per-agent action space for every action mode — the
+    reference builds the mode-specific gym space in ``environment.py:43-77``
+    (Box / Discrete(5) / MultiDiscrete / MultiBinary / Box+Discrete tuple);
+    decode semantics live in ``coverage.step`` (``envs/coverage.py``)."""
+    mode = cfg.resolved_action_mode
+    if mode == "discrete":
+        return Discrete(cfg.action_dim)
+    if mode == "multi_discrete":
+        # per-axis branch index in [0, k-1] (decoded to {-1,0,+1} forces)
+        return MultiDiscrete([[0, k - 1] for k in cfg.action_head_dims])
+    if mode == "multi_binary":
+        return MultiBinary(cfg.action_dim)
+    if mode == "mixed":
+        box_dim, n_cat = cfg.action_head_dims
+        return TupleSpace(
+            [Box(low=-1.0, high=1.0, shape=(box_dim,)), Discrete(n_cat)]
+        )
+    return Box(low=-1.0, high=1.0, shape=(cfg.action_dim,))
 
 
 def _make_spaces(cfg: EnvConfig):
     obs_space = [
         Box(low=-np.inf, high=np.inf, shape=(cfg.obs_dim,)) for _ in range(cfg.n_agents)
     ]
-    if cfg.discrete_actions:
-        act_space = [Discrete(cfg.action_dim) for _ in range(cfg.n_agents)]
-    else:
-        act_space = [
-            Box(low=-1.0, high=1.0, shape=(cfg.action_dim,))
-            for _ in range(cfg.n_agents)
-        ]
+    act_space = [_one_action_space(cfg) for _ in range(cfg.n_agents)]
     share_space = [
         Box(low=-np.inf, high=np.inf, shape=(cfg.share_obs_dim,))
         for _ in range(cfg.n_agents)

@@ -94,3 +94,45 @@ class MultiDiscrete(Space):
 
     def __repr__(self):
         return f"MultiDiscrete({self.num_discrete_space})"
+
+
+class MultiBinary(Space):
+    """n independent {0,1} bits (gym.spaces.MultiBinary analog; the
+    reference's ACTLayer Bernoulli branch, ``act.py:30-33``)."""
+
+    def __init__(self, n: int):
+        self.n = int(n)
+        self.shape: Tuple[int, ...] = (self.n,)
+        self.dtype = np.int64
+
+    def sample(self, rng):
+        return (rng.rand(self.n) < 0.5).astype(np.int64)
+
+    def contains(self, x) -> bool:
+        x = np.asarray(x)
+        return x.shape == self.shape and bool(np.all((x == 0) | (x == 1)))
+
+    def __repr__(self):
+        return f"MultiBinary({self.n})"
+
+
+class TupleSpace(Space):
+    """Heterogeneous composite (gym.spaces.Tuple analog) — the reference's
+    mixed Box+Discrete action space (``environment.py:43-77`` builds a list
+    of sub-spaces when an agent has both movement and communication
+    actions)."""
+
+    def __init__(self, spaces: Sequence[Space]):
+        self.spaces: Tuple[Space, ...] = tuple(spaces)
+        self.shape = tuple(s.shape for s in self.spaces)
+
+    def sample(self, rng):
+        return tuple(s.sample(rng) for s in self.spaces)
+
+    def contains(self, x) -> bool:
+        return len(x) == len(self.spaces) and all(
+            s.contains(xi) for s, xi in zip(self.spaces, x)
+        )
+
+    def __repr__(self):
+        return f"TupleSpace({', '.join(map(repr, self.spaces))})"

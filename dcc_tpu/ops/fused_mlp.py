@@ -57,16 +57,16 @@ def _ln_fwd(x, scale, bias, bf16):
     """LayerNorm matching flax semantics for the given compute mode.
 
     Returns (y, xhat_f32, inv_f32); xhat/inv feed the backward chain.
+    flax's ``_normalize`` promotes the whole normalize (subtract/scale/bias)
+    to float32 (mean/var promotion) and casts only the final result to the
+    module dtype — so the bf16 branch here differs from f32 only by the one
+    output rounding, exactly like the flax mixed-precision path.
     """
     mu, inv = _ln_stats(x)
     xhat = (x.astype(jnp.float32) - mu) * inv
+    y = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if bf16:
-        y = (
-            (x.astype(jnp.bfloat16) - mu.astype(jnp.bfloat16))
-            * inv.astype(jnp.bfloat16)
-        ) * scale.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
-    else:
-        y = xhat * scale + bias
+        y = y.astype(jnp.bfloat16)
     return y, xhat, inv
 
 

@@ -34,6 +34,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    **kwargs,
 ) -> None:
     """Join the multi-process JAX runtime (idempotent).
 
@@ -58,10 +59,18 @@ def initialize(
         process_id = int(env_pid)
     if coordinator_address is None and num_processes in (None, 1):
         return  # single-process run: nothing to join
+    # Tolerant-by-default liveness: on oversubscribed hosts (CI, shared dev
+    # boxes) a CPU-starved peer can miss heartbeats and get terminated by
+    # the coordination service mid-test. DCC_HEARTBEAT_TIMEOUT_S overrides;
+    # explicit kwargs win.
+    hb = os.environ.get("DCC_HEARTBEAT_TIMEOUT_S")
+    if hb is not None:
+        kwargs.setdefault("heartbeat_timeout_seconds", int(hb))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        **kwargs,
     )
     _initialized = True
 

@@ -30,10 +30,16 @@ except Exception:  # pragma: no cover
     _HAS_PIL = False
 
 
-def rollout_states(algo, ts, key: jax.Array, deterministic: bool = False):
-    """Roll one env for episode_length steps, logging renderable state:
-    returns dict of numpy arrays pos (T+1,N,2), poi_pos (T+1,M,2),
-    energy (T+1,M), poi_done (T+1,M), reward (T,), coverage (T,)."""
+def rollout_states(
+    algo, ts, key: jax.Array, deterministic: bool = False, n_envs: int = 1
+):
+    """Roll ``n_envs`` envs for episode_length steps, logging renderable
+    state: returns dict of numpy arrays pos (T+1,N,2), poi_pos (T+1,M,2),
+    energy (T+1,M), poi_done (T+1,M), reward (T,), coverage (T,). With
+    ``n_envs > 1`` every array gains a leading-after-time env axis
+    ((T+1,E,N,2), ...) — the reference's multi-env render farm
+    (``learner.py:195-210`` rolls ``n_render_rollout_threads`` envs and
+    saves the tiled GIF)."""
     env_cfg = algo.env_cfg
     # MAPPO names the horizon episode_length; MADDPG steps_per_iter
     T = getattr(algo.cfg, "episode_length", None) or algo.cfg.steps_per_iter
@@ -42,29 +48,36 @@ def rollout_states(algo, ts, key: jax.Array, deterministic: bool = False):
 
     sc = get_scenario(getattr(algo, "scenario", "coverage"))
     reset_fn, step_fn, obs_fn = sc["reset"], sc["step"], sc["observation"]
+    reset_b = jax.vmap(reset_fn, in_axes=(None, 0))
+    step_b = jax.vmap(step_fn, in_axes=(None, 0, 0))
+    obs_b = jax.vmap(obs_fn, in_axes=(None, 0))
 
     def body(carry, _):
         state, obs, k = carry
         k, k_act = jax.random.split(k)
         action, _ = algo.act(ts.actor_params, k_act, obs, deterministic)
-        new_state, out = step_fn(env_cfg, state, action)
+        new_state, out = step_b(env_cfg, state, action)
         log = (new_state.pos, new_state.poi_pos, new_state.energy,
                new_state.poi_done, out.reward, out.coverage_rate)
         return (new_state, out.obs, k), log
 
     key, k0 = jax.random.split(key)
-    s0 = reset_fn(env_cfg, k0)
-    obs0 = obs_fn(env_cfg, s0)
+    s0 = reset_b(env_cfg, jax.random.split(k0, n_envs))
+    obs0 = obs_b(env_cfg, s0)
     f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=T))
     (sT, _, _), (pos, poi_pos, energy, poi_done, rew, cover) = f((s0, obs0, key))
-    cat = lambda first, rest: np.concatenate([np.asarray(first)[None], np.asarray(rest)], 0)
+    # single-env callers keep the env-axis-free layout
+    sq = (lambda x: np.asarray(x)[:, 0]) if n_envs == 1 else np.asarray
+    cat = lambda first, rest: np.concatenate(
+        [sq(np.asarray(first)[None]), sq(rest)], 0
+    )
     return {
         "pos": cat(s0.pos, pos),
         "poi_pos": cat(s0.poi_pos, poi_pos),
         "energy": cat(s0.energy, energy),
         "poi_done": cat(s0.poi_done, poi_done),
-        "reward": np.asarray(rew),
-        "coverage": np.asarray(cover),
+        "reward": sq(rew),
+        "coverage": sq(cover),
     }
 
 
@@ -146,18 +159,45 @@ def render_gif(
     duration: float = 0.1,
 ) -> List[np.ndarray]:
     """Write a GIF from logged rollout states (the reference saves
-    models_<iter>.gif via imageio, learner.py:204-210)."""
-    frames = [
-        draw_frame(
-            env_cfg,
-            states["pos"][t],
-            states["poi_pos"][t],
-            states["energy"][t],
-            states["poi_done"][t],
-            size=size,
-        )
-        for t in range(0, len(states["pos"]), every)
-    ]
+    models_<iter>.gif via imageio, learner.py:204-210). Multi-env state
+    logs (pos ndim 4, from ``rollout_states(..., n_envs>1)``) are rendered
+    per env and tiled into one near-square grid per frame — the reference's
+    tiled human-mode render farm (``wrappers.py:69-78`` tile_images)."""
+    multi = np.asarray(states["pos"]).ndim == 4
+    if multi:
+        from ..utils import tile_images
+
+        n_envs = states["pos"].shape[1]
+        frames = [
+            tile_images(
+                np.stack(
+                    [
+                        draw_frame(
+                            env_cfg,
+                            states["pos"][t, e],
+                            states["poi_pos"][t, e],
+                            states["energy"][t, e],
+                            states["poi_done"][t, e],
+                            size=size,
+                        )
+                        for e in range(n_envs)
+                    ]
+                )
+            )
+            for t in range(0, len(states["pos"]), every)
+        ]
+    else:
+        frames = [
+            draw_frame(
+                env_cfg,
+                states["pos"][t],
+                states["poi_pos"][t],
+                states["energy"][t],
+                states["poi_done"][t],
+                size=size,
+            )
+            for t in range(0, len(states["pos"]), every)
+        ]
     try:
         import imageio
 

@@ -127,7 +127,7 @@ class Learner:
                 self._wandb = wandb
                 wandb.init(
                     project=str(self.cfg.get("save_name", "uav_dcc")),
-                    group="mappo",
+                    group=str(self.cfg.get("algo_file", "mappo")),
                     name=os.path.basename(self.output_path or "run"),
                     config=self.cfg,
                 )
@@ -204,10 +204,18 @@ class Learner:
 
     # ------------------------------------------------------------------
     def render(self, path: str):
+        # n_render_rollout_threads envs, tiled into one grid GIF — the
+        # reference's render farm (learner.py:195-210, wrappers.py:69-78);
+        # frames shrink as the grid grows so the GIF stays bounded
+        n_render = max(1, int(self.cfg.get("n_render_rollout_threads", 1)))
         states = rollout_states(
-            self.algo, self.ts, jax.random.fold_in(self.base_key, 99)
+            self.algo,
+            self.ts,
+            jax.random.fold_in(self.base_key, 99),
+            n_envs=n_render,
         )
-        render_gif(self.env_cfg, states, path)
+        size = 700 if n_render == 1 else max(128, 700 // int(np.ceil(np.sqrt(n_render))))
+        render_gif(self.env_cfg, states, path, size=size)
         return states
 
     def log(self, it: int, logs: Dict[str, Dict[str, float]]):
@@ -226,9 +234,12 @@ class Learner:
         self._check = now
 
     def save_model(self, path: str):
-        # collective in a multi-process run: every process participates in
-        # the orbax save; the barrier keeps non-coordinators from racing
-        # into the next iteration's collectives mid-write
+        # Collective in a multi-process run: orbax's save itself begins with
+        # a cross-process sync (sync_global_processes rides a Gloo
+        # collective on this backend), so EVERY process must enter the save
+        # — a coordinator-only call deadlocks the sync. Orbax's primary-host
+        # logic decides who writes which bytes; the trailing barrier keeps
+        # non-coordinators from racing into the next iteration mid-write.
         ckpt.save(path, self.ts)
         dist.barrier("save_model")
 

@@ -40,6 +40,17 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     overrides = {"seed": seed}
+    variant = os.environ.get("DCC_CURVE_CONFIG", "default")
+    if variant == "connect":
+        # connectivity-preservation on: the same 4x20 shape and force
+        # strength as scripts/run_reference_curve.py's connect variant
+        # (comm_force_scale=5.0; reference pull force CoverageWorld.py:100-140,
+        # replicated including the scaled-connectivity quirk —
+        # fix_scaled_connectivity stays False)
+        overrides["comm_force_scale"] = 5.0
+        overrides["comm_r_scale"] = 0.95
+    elif variant != "default":
+        raise SystemExit(f"unknown DCC_CURVE_CONFIG {variant!r}")
     if os.environ.get("DCC_CURVE_ITERS"):  # smoke-test hook
         overrides["n_iters"] = int(os.environ["DCC_CURVE_ITERS"])
     cfg, env_cfg, algo_cfg = load_config(overrides)
@@ -85,13 +96,13 @@ def main():
                 flush=True,
             )
         if iter_ % 10 == 0 or iter_ == n_iters:
-            _dump(out_dir, seed, cfg, series, time.time() - t_start)
+            _dump(out_dir, seed, cfg, series, time.time() - t_start, variant)
 
-    _dump(out_dir, seed, cfg, series, time.time() - t_start)
+    _dump(out_dir, seed, cfg, series, time.time() - t_start, variant)
     print(f"[dcc sd{seed}] done in {time.time() - t_start:.0f}s", flush=True)
 
 
-def _dump(out_dir, seed, cfg, series, elapsed):
+def _dump(out_dir, seed, cfg, series, elapsed, variant="default"):
     payload = {
         "system": f"dcc_tpu (jax, vmap x{cfg['n_rollout_threads']}, "
         f"{jax.default_backend()})",
@@ -102,7 +113,8 @@ def _dump(out_dir, seed, cfg, series, elapsed):
         "elapsed_s": round(elapsed, 1),
         "series": series,
     }
-    path = os.path.join(out_dir, f"dcc_tpu_seed{seed}.json")
+    stem = "dcc_tpu" if variant == "default" else f"dcc_tpu_{variant}"
+    path = os.path.join(out_dir, f"{stem}_seed{seed}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f)

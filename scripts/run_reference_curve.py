@@ -20,6 +20,16 @@ Faithfulness notes:
 
 Usage: python scripts/run_reference_curve.py SEED [OUT_DIR]
 Writes OUT_DIR/reference_seed{SEED}.json with per-iter series.
+
+``REF_CURVE_CONFIG=connect`` records the connectivity-preservation variant
+(BASELINE config #2 behavior; the reference's cov2/cov3 results,
+``ReadMe.md:78-84``): ``comm_force_scale=5.0`` on the same 4x20 shape. The
+reference as shipped never forwards the scale into the world
+(``scenarios/coverage.py:34`` builds ``CoverageWorld()`` bare — SURVEY.md
+2.4 quirk #1), so the runner flips the ``CoverageWorld`` ctor defaults so
+every world the farm builds gets the scales — the reference's own pull-
+force physics (``CoverageWorld.py:100-140``), just actually switched on.
+Output goes to reference_connect_seed{SEED}.json.
 """
 
 import json
@@ -120,6 +130,22 @@ def main():
     cfg = OmegaConf.merge(env_cfg, algo_cfg, expt_cfg)
 
     cfg.seed = seed
+    variant = os.environ.get("REF_CURVE_CONFIG", "default")
+    if variant == "connect":
+        # connectivity-preservation on: same 4x20 shape (make_world hardcodes
+        # 4/20 — coverage.py:40-41), pull force enabled at the strength the
+        # 5uav_dense_conn preset uses
+        cfg.comm_force_scale = 5.0
+        cfg.comm_r_scale = 0.95
+        # The scenario loader re-imports coverage.py fresh per env (imp shim),
+        # but its `from ...CoverageWorld import CoverageWorld` resolves to the
+        # one shared class object — so flipping the ctor defaults switches the
+        # force on in every world the farm builds.
+        from envs.mpe.multiagent.CoverageWorld import CoverageWorld as _CW
+
+        _CW.__init__.__defaults__ = (0.95, 5.0)
+    elif variant != "default":
+        raise SystemExit(f"unknown REF_CURVE_CONFIG {variant!r}")
     if os.environ.get("REF_CURVE_ITERS"):  # smoke-test hook
         cfg.n_iters = int(os.environ["REF_CURVE_ITERS"])
     cfg.log_wandb = False
@@ -182,14 +208,14 @@ def main():
             )
         # incremental save so a partial run is still usable
         if iter_ % 10 == 0 or iter_ == learner.n_iters:
-            _dump(out_dir, seed, cfg, series, time.time() - t_start)
+            _dump(out_dir, seed, cfg, series, time.time() - t_start, variant)
 
     learner.train_envs.close()
-    _dump(out_dir, seed, cfg, series, time.time() - t_start)
+    _dump(out_dir, seed, cfg, series, time.time() - t_start, variant)
     print(f"[ref sd{seed}] done in {time.time() - t_start:.0f}s", flush=True)
 
 
-def _dump(out_dir, seed, cfg, series, elapsed):
+def _dump(out_dir, seed, cfg, series, elapsed, variant="default"):
     payload = {
         "system": "reference (torch, DummyVecEnv x16, CPU)",
         "seed": seed,
@@ -199,7 +225,8 @@ def _dump(out_dir, seed, cfg, series, elapsed):
         "elapsed_s": round(elapsed, 1),
         "series": series,
     }
-    path = os.path.join(out_dir, f"reference_seed{seed}.json")
+    stem = "reference" if variant == "default" else f"reference_{variant}"
+    path = os.path.join(out_dir, f"{stem}_seed{seed}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f)

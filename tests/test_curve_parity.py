@@ -71,3 +71,38 @@ def test_final_coverage_within_seed_variance(curves):
     assert d.min() - margin <= r.mean() <= d.max() + margin, (ref, dcc)
     # and the means themselves are close on an absolute scale
     assert abs(d.mean() - r.mean()) < 0.12, (d.mean(), r.mean())
+
+
+@pytest.fixture(scope="module")
+def connect_curves():
+    """BASELINE config #2 behavior: connectivity-preservation force ON
+    (comm_force_scale=5.0, the reference's cov2/cov3 configuration —
+    ReadMe.md:78-84) on the same 4x20 run shape. Artifacts from
+    `REF_CURVE_CONFIG=connect scripts/run_reference_curve.py` and
+    `DCC_CURVE_CONFIG=connect scripts/run_dcc_curve.py`."""
+    ref = _final_coverages("reference_connect")
+    dcc = _final_coverages("dcc_tpu_connect")
+    if len(ref) < 3 or len(dcc) < 3:
+        pytest.skip(
+            "connectivity-on curve artifacts not present (regenerate, see "
+            "fixture docstring)"
+        )
+    return ref, dcc
+
+
+def test_connect_both_systems_learn(connect_curves):
+    ref, dcc = connect_curves
+    assert min(ref.values()) > 0.5
+    assert min(dcc.values()) > 0.5
+
+
+def test_connect_final_coverage_within_seed_variance(connect_curves):
+    """Connectivity-on band check: same overlap criterion as the default
+    config (range overlap + close means)."""
+    ref, dcc = connect_curves
+    margin = 0.05
+    r = np.array(list(ref.values()))
+    d = np.array(list(dcc.values()))
+    assert r.min() - margin <= d.mean() <= r.max() + margin, (ref, dcc)
+    assert d.min() - margin <= r.mean() <= d.max() + margin, (ref, dcc)
+    assert abs(d.mean() - r.mean()) < 0.12, (d.mean(), r.mean())

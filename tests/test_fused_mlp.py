@@ -117,10 +117,13 @@ def test_bfloat16_mode_tracks_flax_bf16():
         interpret=True,
     )
     assert out.dtype == jnp.bfloat16
-    # LN outputs are O(1); bf16 has ~2-3 decimal digits
-    np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.15
-    )
+    # LN normalize runs in f32 with one output rounding, exactly like flax
+    # (_ln_fwd); the residual gap is the Dense accumulation dtype (kernel:
+    # f32 MXU accumulate; flax on-CPU interpret: bf16 chain) amplified
+    # through the second LN's statistics — a few bf16 ULPs on O(1) outputs.
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.005, err.mean()
 
 
 def test_fused_module_param_tree_identical():

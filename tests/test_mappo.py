@@ -281,13 +281,66 @@ def test_separated_policy_path():
     assert not np.allclose(p[0], p[1])
 
 
-def test_separated_unsupported_combos():
-    import pytest as _pytest
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {"num_mini_batch": 2},
+        {"use_recurrent_policy": True, "data_chunk_length": 4},
+        {"use_recurrent_policy": True, "data_chunk_length": 4, "num_mini_batch": 2},
+        {"use_naive_recurrent": True},
+        {"use_popart": True, "use_valuenorm": False},
+        {"use_popart": True, "use_valuenorm": False, "num_mini_batch": 2},
+    ],
+    ids=["nmb2", "recurrent", "recurrent_nmb2", "naive_recurrent", "popart",
+         "popart_nmb2"],
+)
+def test_separated_full_matrix(extra):
+    """share_policy=False across the reference's full per-agent generator
+    family (``separated_buffer.py:15-414``, ``make_algo.py:26-46``):
+    feed-forward minibatching, recurrent chunks w/ warm starts,
+    naive-recurrent, and per-agent PopArt heads."""
+    cfg = MAPPOConfig(
+        n_rollout_threads=4, episode_length=8, ppo_epoch=2, n_iters=5,
+        share_policy=False, hidden_size=32, **extra,
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    assert abs(float(m.ratio) - 1.0) < 0.05
+    assert np.isfinite(float(m.value_loss))
+    assert np.isfinite(float(m.policy_loss))
+    if cfg.use_popart:
+        # per-agent popart stats advanced (stacked state, one row per agent)
+        assert ts2.popart.debias.shape == (4,)
+        assert np.all(np.asarray(ts2.popart.debias) > 0)
+    else:
+        assert np.all(np.asarray(ts2.vnorm.debias) > 0)
+    # agents trained on their own data -> diverged parameters
+    p = np.asarray(jax.tree_util.tree_leaves(ts2.actor_params)[1])
+    assert not np.allclose(p[0], p[1])
+    # params actually moved
+    p0 = np.asarray(jax.tree_util.tree_leaves(ts.actor_params)[1])
+    assert not np.allclose(p, p0)
 
-    with _pytest.raises(NotImplementedError):
-        MAPPO(MAPPOConfig(share_policy=False, use_recurrent_policy=True), ENV)
-    with _pytest.raises(NotImplementedError):
-        MAPPO(MAPPOConfig(share_policy=False, num_mini_batch=2), ENV)
+
+def test_separated_recurrent_learns():
+    """A few iterations of the separated recurrent path reduce the value
+    loss on the tiny config (sanity that the chunked per-agent generator
+    trains, not just runs)."""
+    cfg = MAPPOConfig(
+        n_rollout_threads=8, episode_length=8, ppo_epoch=4, n_iters=12,
+        share_policy=False, hidden_size=32,
+        use_recurrent_policy=True, data_chunk_length=4,
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    train = jax.jit(algo.train_iteration)
+    losses = []
+    for i in range(6):
+        ts, m = train(ts, jax.random.PRNGKey(10 + i))
+        losses.append(float(m.value_loss))
+    assert np.isfinite(losses).all()
+    assert min(losses[2:]) < losses[0]
 
 
 def test_discrete_action_path():

@@ -1,11 +1,20 @@
-"""Real 2-process ``jax.distributed`` exercise of the launch layer
-(VERDICT r1 item #5: ``parallel/distributed.py`` used to be theory — no test
-ever launched more than one process).
+"""Real 2-process ``jax.distributed`` exercises of the launch layer.
 
 Two fresh interpreters join one coordination service via the standard env
-vars, then drive every control-plane primitive: process identity,
-coordinator election, run-dir string broadcast, and barriers. These are the
-exact primitives the Learner uses around multi-host checkpointing.
+vars, then drive (a) every control-plane primitive — process identity,
+coordinator election, run-dir string broadcast, barriers — and (b) the FULL
+``Learner`` path end-to-end: both processes run ``Learner.train()`` on a
+tiny config with a shared (broadcast) run dir, exercising the
+barrier-wrapped save protocol and an exact checkpoint resume. These are the
+exact code paths a multi-host launch runs around checkpointing
+(``runtime/learner.py``).
+
+Robustness: the coordination service terminates peers that miss heartbeats,
+and on this 2-vCPU host a full-suite run can starve a worker long enough to
+trip that (the round-2 flake). The workers therefore run with a tolerant
+heartbeat timeout, synchronize at a final barrier before ``os._exit`` (so a
+fast coordinator can't tear the service down under a slow peer's last KV
+read), and the test retries once on infrastructure failure.
 
 (The SPMD *data* path — mesh sharding, psum gradient sync — is tested on
 the 8-device virtual mesh in tests/test_parallel.py; this jaxlib build does
@@ -18,9 +27,11 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-WORKER = r"""
+CONTROL_PLANE_WORKER = r"""
 import os, sys, time
 import jax
 from dcc_tpu.parallel import distributed as dist
@@ -42,6 +53,61 @@ dist.barrier("save_model")
 # second broadcast reuses the KV store with a fresh key
 tag = dist.broadcast_str("second" if dist.is_coordinator() else None)
 assert tag == "second", tag
+
+# drain: neither process may exit (tearing down the coordination service it
+# may host) while the other still has KV reads in flight
+dist.barrier("exit_sync")
+print(f"WORKER_OK {pid}", flush=True)
+os._exit(0)
+"""
+
+LEARNER_WORKER = r"""
+import os, sys
+# join the runtime BEFORE any import that can initialise the XLA backend
+# (orbax/learner imports touch jax.devices); Learner's own dist.initialize()
+# is then an idempotent no-op
+from dcc_tpu.parallel import distributed as dist
+dist.initialize()
+
+import numpy as np
+import jax
+from dcc_tpu.runtime.learner import Learner
+
+tmp = os.environ["DCC_TEST_TMP"]
+overrides = dict(
+    seed=3,
+    n_iters=2,
+    max_ep_len=8,
+    n_rollout_threads=4,
+    n_eval_rollout_threads=0,
+    ppo_epoch=2,
+    algo_hidden_size=32,
+    save_interval=1,
+    render_interval=10**9,
+    save_gifs=False,
+    log_wandb=False,
+    main_save_path=tmp,
+    save_name="mp_e2e",
+)
+learner = Learner(overrides)
+pid = dist.process_index()
+assert dist.process_count() == 2
+
+# both processes must have agreed on the coordinator's timestamped run dir
+print(f"RUN_DIR {pid} {learner.output_path}", flush=True)
+
+learner.train()  # 2 iterations, 2 barrier-wrapped saves
+
+# exact resume: restoring the last checkpoint must reproduce the live state
+ckpt_path = os.path.join(learner.output_path, "models_2")
+assert os.path.isdir(ckpt_path), ckpt_path
+live = jax.tree_util.tree_leaves(learner.ts)
+learner.load_model(ckpt_path)
+restored = jax.tree_util.tree_leaves(learner.ts)
+for a, b in zip(live, restored):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+dist.barrier("exit_sync")
 print(f"WORKER_OK {pid}", flush=True)
 os._exit(0)
 """
@@ -53,7 +119,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_control_plane(tmp_path):
+def _launch_pair(worker_src, timeout, extra_env=None):
     port = _free_port()
     procs = []
     for pid in (0, 1):
@@ -64,11 +130,15 @@ def test_two_process_control_plane(tmp_path):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
             PYTHONPATH=REPO,
+            # liveness tolerance for oversubscribed CI hosts (see module
+            # docstring); consumed by dcc_tpu.parallel.distributed.initialize
+            DCC_HEARTBEAT_TIMEOUT_S="600",
+            **(extra_env or {}),
         )
         env.pop("XLA_FLAGS", None)  # no virtual device farm needed
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", WORKER],
+                [sys.executable, "-c", worker_src],
                 env=env,
                 cwd=REPO,
                 stdout=subprocess.PIPE,
@@ -79,12 +149,51 @@ def test_two_process_control_plane(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+    return procs, outs
+
+
+def _run_with_retry(worker_src, timeout, extra_env=None, attempts=2):
+    """Run the 2-process job; retry once if a worker died on coordination-
+    service infrastructure errors (peer-termination under CPU starvation),
+    which are environmental, not logic failures. Assertion failures inside
+    a worker also surface as nonzero exits — the retry reruns them, and a
+    real bug fails both attempts."""
+    last = None
+    for attempt in range(attempts):
+        procs, outs = _launch_pair(worker_src, timeout, extra_env)
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        last = "\n".join(
+            f"--- proc {i} (rc {p.returncode}) ---\n{out}"
+            for i, (p, out) in enumerate(zip(procs, outs))
+        )
+    pytest.fail(f"2-process job failed after {attempts} attempts:\n{last}")
+
+
+def test_two_process_control_plane():
+    outs = _run_with_retry(CONTROL_PLANE_WORKER, timeout=300)
+    for pid, out in enumerate(outs):
         assert f"WORKER_OK {pid}" in out, out
+
+
+def test_two_process_learner_e2e(tmp_path):
+    outs = _run_with_retry(
+        LEARNER_WORKER,
+        timeout=600,
+        extra_env={"DCC_TEST_TMP": str(tmp_path)},
+    )
+    run_dirs = []
+    for pid, out in enumerate(outs):
+        assert f"WORKER_OK {pid}" in out, out
+        line = [l for l in out.splitlines() if l.startswith(f"RUN_DIR {pid} ")]
+        assert line, out
+        run_dirs.append(line[0].split(" ", 2)[2])
+    # the broadcast run dir must be identical across processes
+    assert run_dirs[0] == run_dirs[1], run_dirs
+    assert os.path.isdir(os.path.join(run_dirs[0], "models_2"))

@@ -45,10 +45,12 @@ def test_preset_shapes():
 
     _, env20, algo20 = load_preset("20uav_16k_dist")
     assert env20.n_agents == 20 and algo20.n_rollout_threads == 16384
-    # production scale config: mixed precision + fused-trunk-era memory
-    # levers (chunked accumulation; remat obsoleted by the fused kernel)
+    # production scale config: mixed precision + chunked accumulation.
+    # use_remat stays on: a no-op cost when the fused trunk is active
+    # (single-chip bf16) but load-bearing under a multi-chip mesh where
+    # fused_trunk=auto resolves off (the preset's named use-case).
     assert algo20.compute_dtype == "bfloat16"
-    assert not algo20.use_remat and algo20.update_chunks == 4
+    assert algo20.use_remat and algo20.update_chunks == 4
 
 
 def test_unknown_preset_raises():
@@ -91,5 +93,5 @@ def test_loader_maps_update_chunks_and_dtype():
     assert algo_cfg.update_chunks == 4
     assert algo_cfg.compute_dtype == "bfloat16"
     _, _, a16 = load_preset("20uav_16k_dist")
-    assert a16.update_chunks == 4 and not a16.use_remat
+    assert a16.update_chunks == 4 and a16.use_remat
     assert a16.fused_trunk == "auto"
