@@ -142,6 +142,17 @@ class MAPPOConfig(NamedTuple):
     # perturbs the update numerics by one input rounding. Well within bf16
     # compute noise; set false to keep f32 storage. Ignored in f32 mode.
     store_obs_bf16: bool = True
+    # Fully-fused PPO update backend (ops/fused_ppo): ONE Pallas kernel per
+    # network computes the loss AND the parameter gradients for the whole
+    # minibatch — trunk, head, distribution math, and the surrogate/Huber
+    # chains all evaluated per VMEM row tile, with no (rows, hidden)
+    # intermediates ever reaching HBM (the bandwidth bound the round-2
+    # device traces identified). "auto" selects it under the same
+    # conditions as the fused trunk (single TPU chip, shared feed-forward
+    # policy, gaussian head, bf16); "on"/"interpret" force it (f32 runs
+    # HIGHEST-precision matmuls); "off" keeps autodiff of the flax graph.
+    # Gradient-parity with autodiff is pinned by tests/test_fused_ppo.py.
+    fused_loss: str = "auto"
 
 
 @struct.dataclass
@@ -381,6 +392,39 @@ class MAPPO:
         self.actor_tx = make_tx(cfg.actor_lr)
         self.critic_tx = make_tx(cfg.critic_lr)
         self._net_dtype = net_dtype
+
+        # fully-fused PPO update dispatch (ops/fused_ppo; see fused_loss doc)
+        fused_loss_ok = (
+            not use_cnn
+            and cfg.share_policy
+            and not self._recurrent
+            and self._head_kind == "gaussian"
+        )
+        if cfg.fused_loss in ("on", "interpret"):
+            if not fused_loss_ok:
+                raise ValueError(
+                    "fused_loss requires the shared feed-forward gaussian "
+                    "policy (no CNN/recurrent/separated/discrete)"
+                )
+            if not single_dev:
+                raise ValueError(
+                    "fused_loss is single-device only (the Pallas custom "
+                    "call blocks env-axis GSPMD sharding); use 'auto' under "
+                    "a mesh"
+                )
+            self._fused_loss = True
+        elif cfg.fused_loss == "auto":
+            self._fused_loss = (
+                fused_loss_ok
+                and single_dev
+                and net_dtype == jnp.bfloat16
+                and jax.default_backend() in ("tpu", "axon")
+            )
+        elif cfg.fused_loss == "off":
+            self._fused_loss = False
+        else:
+            raise ValueError(f"unknown fused_loss {cfg.fused_loss!r}")
+        self._fused_loss_interpret = cfg.fused_loss == "interpret"
 
     # ------------------------------------------------------------------
     # init
@@ -1228,7 +1272,10 @@ class MAPPO:
 
         if self._recurrent:
             return self._update_recurrent(ts, key, traj, adv_n, returns)
-        if cfg.update_chunks > 1:
+        if cfg.update_chunks > 1 and not self._fused_loss:
+            # gradient accumulation bounds activation memory; with the fused
+            # loss kernels nothing (rows, hidden)-sized is ever materialized,
+            # so the single-pass path is both legal and faster at any size
             return self._update_ff_chunked(ts, traj, adv_n, returns)
 
         # Under bf16 compute, store the network inputs (the dominant HBM
@@ -1338,12 +1385,176 @@ class MAPPO:
             bcast(traj.masks[:-1]),
         )
 
+    def _trunk_flat(self, params):
+        """Flatten a network's MLP-trunk params into the fused kernels'
+        flat list convention (ops/fused_mlp docstring)."""
+        cfg = self.cfg
+        base = params["params"]["base"]
+        flat = []
+        if cfg.use_feature_normalization:
+            flat += [base["feature_norm"]["scale"], base["feature_norm"]["bias"]]
+        for i in range(cfg.layer_n + 1):
+            flat += [
+                base[f"fc{i}"]["kernel"],
+                base[f"fc{i}"]["bias"],
+                base[f"norm{i}"]["scale"],
+                base[f"norm{i}"]["bias"],
+            ]
+        return flat
+
+    def _trunk_unflat(self, tg, scale):
+        """Kernel grad outputs (2-D accumulators) -> the flax base subtree,
+        scaled by ``scale`` (1/rows for mean-loss gradients)."""
+        cfg = self.cfg
+        v = lambda x: (x * scale).reshape(-1)
+        base = {}
+        i = 0
+        if cfg.use_feature_normalization:
+            base["feature_norm"] = {"scale": v(tg[0]), "bias": v(tg[1])}
+            i = 2
+        for li in range(cfg.layer_n + 1):
+            base[f"fc{li}"] = {"kernel": tg[i] * scale, "bias": v(tg[i + 1])}
+            base[f"norm{li}"] = {"scale": v(tg[i + 2]), "bias": v(tg[i + 3])}
+            i += 4
+        return base
+
+    def _fused_minibatch_update(self, carry, mb):
+        """One optimizer step computed by the fully-fused PPO kernels
+        (ops/fused_ppo): loss AND gradients in one Pallas pass per network —
+        same math as `_ff_minibatch_update` (gradient parity pinned in
+        tests/test_fused_ppo.py / test_fused_loss_integration), none of the
+        (rows, hidden) intermediates in HBM."""
+        from ..ops import fused_ppo as FP
+
+        cfg = self.cfg
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b = mb
+
+        # ValueNorm/PopArt update BEFORE normalize (mappo.py:106-107)
+        if cfg.use_valuenorm:
+            vnorm = VN.update(vnorm, ret_b)
+            ret_target = VN.normalize(vnorm, ret_b)
+        elif cfg.use_popart:
+            kernel = critic_params["params"]["v_out"]["kernel"]
+            bias = critic_params["params"]["v_out"]["bias"]
+            popart, kernel, bias = PA.update(popart, kernel, bias, ret_b)
+            new_head = {
+                **critic_params["params"]["v_out"],
+                "kernel": kernel,
+                "bias": bias,
+            }
+            critic_params = {
+                **critic_params,
+                "params": {**critic_params["params"], "v_out": new_head},
+            }
+            ret_target = PA.normalize(popart, ret_b)
+        else:
+            ret_target = ret_b
+
+        rows = lambda x: x.reshape(-1, x.shape[-1])
+        obs_r, act_r, logp_r, adv_r = map(rows, (obs_b, act_b, logp_b, adv_b))
+        cent_r, vpred_r, ret_r = map(rows, (cent_b, vpred_b, ret_target))
+        bf16 = self._net_dtype == jnp.bfloat16
+        n_layers = cfg.layer_n + 1
+        common = dict(
+            n_layers=n_layers,
+            use_feature_norm=cfg.use_feature_normalization,
+            use_relu=cfg.use_relu,
+            bf16=bf16,
+            clip_param=cfg.clip_param,
+            block_rows=cfg.fused_block_rows,
+            interpret=self._fused_loss_interpret,
+        )
+
+        pa = actor_params["params"]
+        tg_a, dwh, dbh, dls, met_a = FP.actor_ppo_grads(
+            obs_r,
+            act_r,
+            logp_r,
+            adv_r,
+            self._trunk_flat(actor_params),
+            pa["act_out"]["kernel"],
+            pa["act_out"]["bias"],
+            pa["log_std"],
+            **common,
+        )
+        n_a = obs_r.shape[0]
+        # total-loss actor grads: policy term (mean over rows) + the entropy
+        # bonus, which for the state-independent gaussian touches only
+        # log_std: d(-coef * mean(ent))/dlog_std_d = -coef
+        a_grads = {
+            "params": {
+                "base": self._trunk_unflat(tg_a, 1.0 / n_a),
+                "act_out": {"kernel": dwh / n_a, "bias": dbh / n_a},
+                "log_std": dls / n_a - cfg.entropy_coef,
+            }
+        }
+
+        pc = critic_params["params"]
+        tg_c, dwv, dbv, met_c = FP.critic_value_grads(
+            cent_r,
+            vpred_r,
+            ret_r,
+            self._trunk_flat(critic_params),
+            pc["v_out"]["kernel"],
+            pc["v_out"]["bias"],
+            huber_delta=cfg.huber_delta,
+            use_huber=cfg.use_huber_loss,
+            use_clipped=cfg.use_clipped_value_loss,
+            **common,
+        )
+        n_c = cent_r.shape[0]
+        cs = cfg.value_loss_coef / n_c
+        c_grads = {
+            "params": {
+                "base": self._trunk_unflat(tg_c, cs),
+                "v_out": {"kernel": dwv * cs, "bias": dbv * cs},
+            }
+        }
+
+        a_norm = optax.global_norm(a_grads)
+        c_norm = optax.global_norm(c_grads)
+        a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+        actor_params = optax.apply_updates(actor_params, a_updates)
+        c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+        critic_params = optax.apply_updates(critic_params, c_updates)
+
+        # dist_entropy: constant per row for the state-independent gaussian
+        # (ent.sum(-1).mean() == sum over dims of 0.5 + 0.5 log 2pi + log_std)
+        import math as _math
+
+        dist_entropy = jnp.sum(
+            0.5 + 0.5 * _math.log(2.0 * _math.pi) + pa["log_std"]
+        )
+        metrics = jnp.stack(
+            [
+                met_c[0] / n_c,
+                met_a[0] / n_a,
+                dist_entropy,
+                a_norm,
+                c_norm,
+                met_a[1] / n_a,
+            ]
+        )
+        return (
+            actor_params,
+            critic_params,
+            a_opt,
+            c_opt,
+            vnorm,
+            popart,
+            count + 1,
+        ), metrics
+
     def _ff_minibatch_update(self, carry, mb):
         """One optimizer step on one feed-forward minibatch — the loss/
         gradient body of the reference's ``ppo_update`` (``mappo.py:133-187``)
         with ValueNorm/PopArt stats updated BEFORE normalizing the returns
-        (``mappo.py:106-107``)."""
+        (``mappo.py:106-107``). Dispatches to the fully-fused kernel path
+        when enabled (see ``fused_loss``)."""
         cfg = self.cfg
+        if getattr(self, "_fused_loss", False):
+            return self._fused_minibatch_update(carry, mb)
         actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
         obs_b, act_b, logp_b, adv_b, cent_b, vpred_b, ret_b, mask_b = mb
 

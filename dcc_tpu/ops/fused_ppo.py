@@ -1,0 +1,520 @@
+"""Fused PPO loss + gradient kernels (Pallas, TPU).
+
+Round-2 device traces (benchmarks/PERF_NOTES.md) showed the PPO update is
+98% of the training iteration at ~14% MXU — VPU/bandwidth-bound on the
+``(rows, 256)`` activation traffic between the trunk, the heads, and the
+elementwise surrogate/Huber chains, re-streamed 15 epochs per iteration.
+The fused trunk (ops/fused_mlp) removed the *intra-trunk* HBM round-trips
+but still hands the full feature matrix to XLA for the heads and loss.
+
+These kernels go all the way: ONE ``pallas_call`` per network computes the
+loss **and the parameter gradients** for a whole minibatch —
+
+* **actor** — per row tile: trunk forward (LN -> [Dense -> act -> LN] x L,
+  VMEM-resident), gaussian head ``mean = feat @ W + b`` with the
+  state-independent ``log_std`` (``distributions.py:72-92``), log-prob of
+  the taken action, ratio/clipped-surrogate loss
+  (``mappo.py:150-162``), then the full backward chain in the same tile:
+  d(mean) -> head grads -> d(features) -> trunk grads. Parameter gradients
+  accumulate in float32 VMEM across the sequential grid; the only HBM
+  traffic is the input rows and O(params) outputs. Nothing with a
+  ``hidden``-sized row dimension ever leaves the chip.
+* **critic** — same structure with the value head and the reference's
+  clipped + (quirky one-sided) Huber value loss (``mappo.py:103-131``,
+  ``utils/util.py:36-38``: ``b = (e > delta)`` only — the negative branch
+  really is flat zero, replicated exactly).
+
+Both return SUM-reduced losses/grads; the caller divides by the row count
+(mean-loss gradients) and applies loss coefficients. Gradient-tie
+conventions replicate JAX autodiff exactly: ``min``/``max`` split the
+cotangent 50/50 on ties (lax._balanced_eq), ``clip`` composes the two.
+Numerics are mode-faithful to the flax paths: bf16 operands with f32 MXU
+accumulation in bf16 mode, HIGHEST-precision f32 matmuls otherwise; all
+loss/backward elementwise math runs in float32.
+
+Gradient-parity is asserted against ``jax.grad`` of the stock flax loss in
+``tests/test_fused_ppo.py`` (interpreter mode).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_mlp import _forward_chain, _ln_bwd, _pad_rows
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def _mm(a, b, bf16, transpose_a=False):
+    """Mode-faithful matmul: bf16 operands + f32 accumulate in bf16 mode,
+    HIGHEST-precision f32 otherwise. Returns f32."""
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+    dims = (((0,), (0,)), ((), ())) if transpose_a else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        a.astype(dt),
+        b.astype(dt),
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _head_fwd(feat, w, b, bf16):
+    """Dense head matching flax: bf16 matmul+bias then f32 cast in bf16
+    mode (Actor._head / Critic.__call__ cast), pure f32 otherwise."""
+    z = _mm(feat, w, bf16)
+    if bf16:
+        z = (z.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        z = z + b.astype(jnp.float32)
+    return z
+
+
+def _balanced_lt(x, y):
+    """Cotangent weight for min(x, y) w.r.t. x, matching lax autodiff:
+    1 where x<y, 0 where x>y, 0.5 on ties."""
+    return jnp.where(x < y, 1.0, jnp.where(x > y, 0.0, 0.5))
+
+
+def _clip_grad(x, lo, hi):
+    """d clip(x, lo, hi) / dx under JAX's min/max balanced-tie convention:
+    clip = min(max(x, lo), hi)."""
+    gmax = jnp.where(x > lo, 1.0, jnp.where(x < lo, 0.0, 0.5))
+    m = jnp.maximum(x, lo)
+    gmin = jnp.where(m < hi, 1.0, jnp.where(m > hi, 0.0, 0.5))
+    return gmax * gmin
+
+
+def _trunk_bwd(g, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16):
+    """Backward through the trunk chain from feature cotangent ``g`` (f32),
+    accumulating parameter grads via ``accum(ref, val)``. Mirrors
+    fused_mlp._bwd_kernel's chain (mode-faithful matmuls); skips the d(input)
+    computation — observations need no gradient."""
+    pi = len(params)
+    gi = len(grad_refs)
+    for li in reversed(range(n_layers)):
+        a, z, r, xhat, inv = cache["layers"][li]
+        w, gscale = params[pi - 4], params[pi - 2]
+        g, dscale, dbias = _ln_bwd(g, xhat, inv, gscale.astype(jnp.float32))
+        if use_relu:
+            g = g * (z.astype(jnp.float32) > 0).astype(jnp.float32)
+        else:
+            rf = r.astype(jnp.float32)
+            g = g * (1.0 - rf * rf)
+        dw = _mm(a, g, bf16, transpose_a=True)
+        db = jnp.sum(g, axis=0, keepdims=True)
+        accum(grad_refs[gi - 1], dbias)
+        accum(grad_refs[gi - 2], dscale)
+        accum(grad_refs[gi - 3], db)
+        accum(grad_refs[gi - 4], dw)
+        gi -= 4
+        pi -= 4
+        if li > 0 or use_fn:
+            g = _mm(g, w.astype(jnp.float32).T, bf16)
+    if use_fn:
+        xhat, inv = cache["fn"]
+        fs = params[0].astype(jnp.float32)
+        _, dscale, dbias = _ln_bwd(g, xhat, inv, fs)
+        accum(grad_refs[1], dbias)
+        accum(grad_refs[0], dscale)
+
+
+def _make_accum():
+    first = pl.program_id(0) == 0
+
+    def accum(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+        ref[:] += val.astype(ref.dtype)
+
+    return accum
+
+
+# ---------------------------------------------------------------------------
+# actor: clipped-surrogate policy loss + grads
+# ---------------------------------------------------------------------------
+
+def _actor_kernel(
+    *refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim
+):
+    n_trunk = (2 if use_fn else 0) + 4 * n_layers
+    n_in = 4 + n_trunk + 3  # x, act, old_logp, adv, trunk..., Wh, bh, log_std
+    (x_ref, act_ref, oldlp_ref, adv_ref) = refs[:4]
+    trunk_refs = refs[4 : 4 + n_trunk]
+    wh_ref, bh_ref, ls_ref = refs[4 + n_trunk : n_in]
+    out_refs = refs[n_in:]
+    # outputs: trunk grads..., dWh, dbh, dlog_std, metrics (1, 2)
+    grad_refs = out_refs[:n_trunk]
+    dwh_ref, dbh_ref, dls_ref, met_ref = out_refs[n_trunk:]
+    accum = _make_accum()
+
+    params = [p[:] for p in trunk_refs]
+    feat, cache = _forward_chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
+
+    wh = wh_ref[:]
+    mean = _head_fwd(feat, wh, bh_ref[:], bf16)  # (bs, act) f32
+    log_std = ls_ref[:].astype(jnp.float32)  # (1, act)
+    a = act_ref[:].astype(jnp.float32)
+    inv_std = jnp.exp(-log_std)
+    z = (a - mean) * inv_std
+    lp = jnp.sum(
+        -0.5 * z * z - log_std - _LOG_SQRT_2PI, axis=-1, keepdims=True
+    )  # (bs, 1)
+    oldcol = oldlp_ref[:].astype(jnp.float32)  # (bs, 2): [old_lp, valid]
+    old_lp, valid = oldcol[:, 0:1], oldcol[:, 1:2]
+    adv = adv_ref[:].astype(jnp.float32)
+    ratio = jnp.exp(lp - old_lp)
+    clipped = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param)
+    s1 = ratio * adv
+    s2 = clipped * adv
+    loss_rows = -jnp.minimum(s1, s2)  # (bs, 1); sum(-1, keepdims) is identity
+
+    # padded rows carry adv=0 -> zero loss and zero backward terms (every
+    # gradient below is proportional to adv); the ratio METRIC is not
+    # adv-weighted, so it is masked by the validity column explicitly
+    accum(
+        met_ref,
+        jnp.concatenate(
+            [
+                jnp.sum(loss_rows).reshape(1, 1),
+                jnp.sum(ratio * valid).reshape(1, 1),
+            ],
+            axis=1,
+        ),
+    )
+
+    # ---- backward (all f32) ----
+    w1 = _balanced_lt(s1, s2)
+    dratio = -(w1 * adv + (1.0 - w1) * adv * _clip_grad(
+        ratio, 1.0 - clip_param, 1.0 + clip_param
+    ))
+    dlp = dratio * ratio  # (bs, 1)
+    dmean = dlp * z * inv_std  # (bs, act)
+    dls = jnp.sum(dlp * (z * z - 1.0), axis=0, keepdims=True)  # (1, act)
+    accum(dls_ref, dls)
+    accum(dbh_ref, jnp.sum(dmean, axis=0, keepdims=True))
+    accum(dwh_ref, _mm(feat, dmean, bf16, transpose_a=True))
+    g_feat = _mm(dmean, wh.astype(jnp.float32).T, bf16)
+    _trunk_bwd(
+        g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
+    )
+
+
+# ---------------------------------------------------------------------------
+# critic: clipped + (one-sided) Huber value loss + grads
+# ---------------------------------------------------------------------------
+
+def _critic_kernel(
+    *refs,
+    n_layers,
+    use_fn,
+    use_relu,
+    bf16,
+    clip_param,
+    huber_delta,
+    use_huber,
+    use_clipped,
+):
+    n_trunk = (2 if use_fn else 0) + 4 * n_layers
+    n_in = 3 + n_trunk + 2  # cent, vpred, ret, trunk..., wv, bv
+    (x_ref, vpred_ref, ret_ref) = refs[:3]
+    trunk_refs = refs[3 : 3 + n_trunk]
+    wv_ref, bv_ref = refs[3 + n_trunk : n_in]
+    out_refs = refs[n_in:]
+    grad_refs = out_refs[:n_trunk]
+    dwv_ref, dbv_ref, met_ref = out_refs[n_trunk:]
+    accum = _make_accum()
+
+    params = [p[:] for p in trunk_refs]
+    feat, cache = _forward_chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
+    wv = wv_ref[:]
+    v = _head_fwd(feat, wv, bv_ref[:], bf16)  # (bs, 1) f32
+
+    vpred = vpred_ref[:].astype(jnp.float32)
+    ret = ret_ref[:].astype(jnp.float32)
+
+    # mark padded rows: vpred/ret are zero-padded and a real row with both
+    # exactly zero is measure-zero; valid flags ride in via vpred's second
+    # column? -- instead the caller pads ret with v-matching zeros and we
+    # mask by the row-validity input baked into ret's padding (see call:
+    # padded rows get ret=0, vpred=0 AND valid=0 via the mask column trick
+    # is avoided -- we pass a validity column in vpred_ref[:, 1:2]).
+    valid = vpred_ref[:].astype(jnp.float32)[:, 1:2]
+    vpred = vpred[:, 0:1]
+
+    if use_huber:
+        # utils/util.py:36-38: a*e^2/2 + b*delta*(|e| - delta/2),
+        # a = (|e| <= delta), b = (e > delta) -- one-sided, replicated
+        def lf(e):
+            aa = (jnp.abs(e) <= huber_delta).astype(jnp.float32)
+            bb = (e > huber_delta).astype(jnp.float32)
+            return aa * e * e / 2.0 + bb * huber_delta * (
+                jnp.abs(e) - huber_delta / 2.0
+            )
+
+        def dlf(e):
+            aa = (jnp.abs(e) <= huber_delta).astype(jnp.float32)
+            bb = (e > huber_delta).astype(jnp.float32)
+            return aa * e + bb * huber_delta
+    else:
+        lf = lambda e: e * e / 2.0
+        dlf = lambda e: e
+
+    err = ret - v
+    if use_clipped:
+        dv_raw = v - vpred
+        v_clip = vpred + jnp.clip(dv_raw, -clip_param, clip_param)
+        err_c = ret - v_clip
+        h1, h2 = lf(err), lf(err_c)
+        loss_rows = jnp.maximum(h1, h2) * valid
+        accum(met_ref, jnp.sum(loss_rows).reshape(1, 1))
+        # backward: max ties split 50/50 (lax._balanced_eq)
+        w1 = _balanced_lt(h2, h1)  # weight of the h1 branch
+        dloss_dv = -(
+            w1 * dlf(err)
+            + (1.0 - w1) * dlf(err_c) * _clip_grad(dv_raw, -clip_param, clip_param)
+        )
+    else:
+        loss_rows = lf(err) * valid
+        accum(met_ref, jnp.sum(loss_rows).reshape(1, 1))
+        dloss_dv = -dlf(err)
+    dv = dloss_dv * valid  # (bs, 1) f32
+
+    accum(dbv_ref, jnp.sum(dv, axis=0, keepdims=True))
+    accum(dwv_ref, _mm(feat, dv, bf16, transpose_a=True))
+    g_feat = _mm(dv, wv.astype(jnp.float32).T, bf16)
+    _trunk_bwd(
+        g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _make_actor_op(
+    n_layers, use_fn, use_relu, bf16, clip_param, act_dim, block_rows, interpret
+):
+    n_trunk = (2 if use_fn else 0) + 4 * n_layers
+    kw = dict(
+        n_layers=n_layers,
+        use_fn=use_fn,
+        use_relu=use_relu,
+        bf16=bf16,
+        clip_param=clip_param,
+        act_dim=act_dim,
+    )
+    const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def op(x, act, old_lp, adv, trunk_params, wh, bh, log_std):
+        rows = x.shape[0]
+        xp = _pad_rows(x, block_rows)
+        # zero-padding: padded rows have adv=0 -> zero loss and zero grads
+        actp = _pad_rows(act, block_rows)
+        oldp = _pad_rows(
+            jnp.concatenate([old_lp, jnp.ones_like(old_lp)], axis=1), block_rows
+        )
+        advp = _pad_rows(adv, block_rows)
+        grid = (xp.shape[0] // block_rows,)
+        row_spec = lambda d: pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        acc_spec = lambda shp: pl.BlockSpec(
+            shp, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        p2 = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in trunk_params)
+        wh2 = wh
+        bh2 = bh.reshape(1, -1)
+        ls2 = log_std.reshape(1, -1)
+        grad_shapes = tuple(
+            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2
+        ) + (
+            jax.ShapeDtypeStruct(wh2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bh2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ls2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),  # [loss_sum, ratio_sum]
+        )
+        acc_specs = tuple(acc_spec(s.shape) for s in grad_shapes)
+        outs = pl.pallas_call(
+            partial(_actor_kernel, **kw),
+            grid=grid,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            in_specs=[
+                row_spec(x.shape[1]),
+                row_spec(act.shape[1]),
+                row_spec(2),
+                row_spec(1),
+            ]
+            + [const_spec()] * (len(p2) + 3),
+            out_specs=acc_specs,
+            out_shape=grad_shapes,
+            interpret=interpret,
+        )(xp, actp, oldp, advp, *p2, wh2, bh2, ls2)
+        trunk_grads = outs[: len(p2)]
+        dwh, dbh, dls, met = outs[len(p2) :]
+        return trunk_grads, dwh, dbh[0], dls[0], met[0]
+
+    return op
+
+
+@lru_cache(maxsize=None)
+def _make_critic_op(
+    n_layers,
+    use_fn,
+    use_relu,
+    bf16,
+    clip_param,
+    huber_delta,
+    use_huber,
+    use_clipped,
+    block_rows,
+    interpret,
+):
+    kw = dict(
+        n_layers=n_layers,
+        use_fn=use_fn,
+        use_relu=use_relu,
+        bf16=bf16,
+        clip_param=clip_param,
+        huber_delta=huber_delta,
+        use_huber=use_huber,
+        use_clipped=use_clipped,
+    )
+    const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def op(cent, vpred, ret, trunk_params, wv, bv):
+        rows = cent.shape[0]
+        xp = _pad_rows(cent, block_rows)
+        # validity column distinguishes padded rows (vpred alone can't:
+        # real rows can have vpred == ret == 0 transiently)
+        vpad = _pad_rows(
+            jnp.concatenate(
+                [vpred, jnp.ones_like(vpred)], axis=1
+            ),
+            block_rows,
+        )
+        rpad = _pad_rows(ret, block_rows)
+        grid = (xp.shape[0] // block_rows,)
+        row_spec = lambda d: pl.BlockSpec(
+            (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        acc_spec = lambda shp: pl.BlockSpec(
+            shp, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        p2 = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in trunk_params)
+        wv2 = wv
+        bv2 = bv.reshape(1, -1)
+        grad_shapes = tuple(
+            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2
+        ) + (
+            jax.ShapeDtypeStruct(wv2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bv2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),  # [value_loss_sum]
+        )
+        acc_specs = tuple(acc_spec(s.shape) for s in grad_shapes)
+        outs = pl.pallas_call(
+            partial(_critic_kernel, **kw),
+            grid=grid,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            in_specs=[row_spec(cent.shape[1]), row_spec(2), row_spec(1)]
+            + [const_spec()] * (len(p2) + 2),
+            out_specs=acc_specs,
+            out_shape=grad_shapes,
+            interpret=interpret,
+        )(xp, vpad, rpad, *p2, wv2, bv2)
+        trunk_grads = outs[: len(p2)]
+        dwv, dbv, met = outs[len(p2) :]
+        return trunk_grads, dwv, dbv[0], met[0]
+
+    return op
+
+
+def actor_ppo_grads(
+    x: jax.Array,
+    act: jax.Array,
+    old_log_prob: jax.Array,
+    adv: jax.Array,
+    trunk_params: Tuple[jax.Array, ...],
+    head_kernel: jax.Array,
+    head_bias: jax.Array,
+    log_std: jax.Array,
+    *,
+    n_layers: int,
+    use_feature_norm: bool = True,
+    use_relu: bool = True,
+    bf16: bool = False,
+    clip_param: float = 0.2,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """SUM-reduced clipped-surrogate loss + gradients over all rows.
+
+    Returns ``(trunk_grads, d_head_kernel, d_head_bias, d_log_std,
+    (policy_loss_sum, ratio_sum))`` — divide by the row count for
+    mean-loss gradients. ``x`` rows are ``(rows, d_in)``.
+    """
+    op = _make_actor_op(
+        n_layers,
+        use_feature_norm,
+        use_relu,
+        bool(bf16),
+        float(clip_param),
+        act.shape[-1],
+        block_rows,
+        interpret,
+    )
+    return op(x, act, old_log_prob, adv, tuple(trunk_params), head_kernel,
+              head_bias, log_std)
+
+
+def critic_value_grads(
+    cent: jax.Array,
+    vpred: jax.Array,
+    ret_target: jax.Array,
+    trunk_params: Tuple[jax.Array, ...],
+    head_kernel: jax.Array,
+    head_bias: jax.Array,
+    *,
+    n_layers: int,
+    use_feature_norm: bool = True,
+    use_relu: bool = True,
+    bf16: bool = False,
+    clip_param: float = 0.2,
+    huber_delta: float = 10.0,
+    use_huber: bool = True,
+    use_clipped: bool = True,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """SUM-reduced clipped/Huber value loss + gradients over all rows.
+
+    Returns ``(trunk_grads, d_head_kernel, d_head_bias,
+    (value_loss_sum,))``."""
+    op = _make_critic_op(
+        n_layers,
+        use_feature_norm,
+        use_relu,
+        bool(bf16),
+        float(clip_param),
+        float(huber_delta),
+        bool(use_huber),
+        bool(use_clipped),
+        block_rows,
+        interpret,
+    )
+    return op(cent, vpred, ret_target, tuple(trunk_params), head_kernel, head_bias)

@@ -70,10 +70,21 @@ def main():
         if len(sys.argv) > 1
         else os.path.join(REPO, "benchmarks", "learning_curves")
     )
-    data = {s: load_series(curve_dir, s) for s in ("reference", "dcc_tpu")}
+    plot_variant(curve_dir, "default")
+    # connectivity-preservation variant (BASELINE config #2 behavior), if
+    # its artifacts exist
+    if glob.glob(os.path.join(curve_dir, "reference_connect_seed*.json")):
+        plot_variant(curve_dir, "connect")
+
+
+def plot_variant(curve_dir, variant):
+    suffix = "" if variant == "default" else f"_{variant}"
+    stems = ("reference" + suffix, "dcc_tpu" + suffix)
+    data = {s: load_series(curve_dir, s) for s in stems}
     for s, d in data.items():
         if not d:
             raise SystemExit(f"no {s}_seed*.json found in {curve_dir}")
+    data = {"reference": data[stems[0]], "dcc_tpu": data[stems[1]]}
 
     fig, axes = plt.subplots(1, 2, figsize=(11, 4.2), dpi=150)
     fig.patch.set_facecolor("white")
@@ -126,16 +137,21 @@ def main():
         ax.margins(x=0.02)
     axes[0].set_ylim(0, 1)
     axes[0].legend(frameon=False, fontsize=8, loc="lower right")
+    desc = (
+        "default config: 4 UAV, 20 PoI, 16 envs x 150 steps"
+        if variant == "default"
+        else "connectivity-preservation ON (comm_force_scale=5), 4 UAV, 20 PoI"
+    )
     fig.suptitle(
         "MAPPO coverage learning curves: torch reference vs dcc_tpu "
-        "(default config: 4 UAV, 20 PoI, 16 envs x 150 steps, 10-iter smoothing)",
+        f"({desc}, 10-iter smoothing)",
         fontsize=10,
         color=INK,
         x=0.02,
         ha="left",
     )
     fig.tight_layout(rect=(0, 0, 1, 0.93))
-    png = os.path.join(curve_dir, "curves_overlay.png")
+    png = os.path.join(curve_dir, f"curves_overlay{suffix}.png")
     fig.savefig(png, facecolor="white")
     print(f"wrote {png}")
 
@@ -147,7 +163,7 @@ def main():
         "reward_dcc_tpu": band_stats(data["dcc_tpu"], "reward"),
     }
     summary["gap"] = summary["dcc_tpu"]["mean"] - summary["reference"]["mean"]
-    out = os.path.join(curve_dir, "parity_summary.json")
+    out = os.path.join(curve_dir, f"parity_summary{suffix}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"wrote {out}")
