@@ -130,10 +130,12 @@ class MAPPOConfig(NamedTuple):
     # bandwidth-bound (benchmarks/PERF_NOTES.md), the fused kernel removes
     # the inter-layer activation HBM round-trips.
     fused_trunk: str = "auto"
-    # Row-tile size of the fused trunk kernel's grid (rows staged into VMEM
-    # per program). 1024 is the measured-fastest tile for the headline
-    # 16k-env configuration (benchmarks/PERF_NOTES.md).
-    fused_block_rows: int = 1024
+    # Row-tile size of the fused kernels' grids (rows staged into VMEM per
+    # program; shared by the trunk kernel and the fused-loss kernels).
+    # 2048 is the measured-fastest tile for the headline 16k-env
+    # configuration (benchmarks/PERF_NOTES.md: 1024 -> 1.28M, 2048 -> 1.40M,
+    # 4096 -> 1.23M env-steps/s).
+    fused_block_rows: int = 2048
     # In bfloat16 mode, store the trajectory's observation rows in bf16 —
     # halves the dominant rollout buffer ((T+1, E, A, obs_dim)), the HBM
     # lever for 32k+ env batches. An approximation, not bit-free: feature-
@@ -414,10 +416,14 @@ class MAPPO:
                 )
             self._fused_loss = True
         elif cfg.fused_loss == "auto":
+            # unlike the trunk kernel, the fused loss wins in BOTH compute
+            # modes (bf16: 866k -> 1.40M; f32: 292k -> 342k env-steps/s,
+            # benchmarks/PERF_NOTES.md) — and the f32 kernel runs
+            # HIGHEST-precision matmuls, numerically closer to the torch
+            # reference than XLA's default single-bf16-pass f32 dots
             self._fused_loss = (
                 fused_loss_ok
                 and single_dev
-                and net_dtype == jnp.bfloat16
                 and jax.default_backend() in ("tpu", "axon")
             )
         elif cfg.fused_loss == "off":
@@ -1293,12 +1299,18 @@ class MAPPO:
             # Keep the (T, E, A, .) layout: with a single minibatch every
             # reduction is a full mean, so flattening is unnecessary and the
             # env axis (1) stays shardable over the mesh's data axis.
+            # Under the fused-loss kernels the critic input is derived
+            # in-place as a reshape of the same obs bytes (cent slot None) —
+            # materializing it separately would double the dominant HBM
+            # array (the 32k-env OOM).
             batch = (
                 net_in(traj.obs[:-1]),
                 traj.actions,
                 traj.log_probs,
                 jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)),
-                net_in(traj.obs[:-1].reshape(T, E, A * self.obs_dim)),
+                None
+                if self._fused_loss
+                else net_in(traj.obs[:-1].reshape(T, E, A * self.obs_dim)),
                 traj.values[:-1],
                 returns,
                 traj.masks[:-1],
@@ -1453,6 +1465,10 @@ class MAPPO:
 
         rows = lambda x: x.reshape(-1, x.shape[-1])
         obs_r, act_r, logp_r, adv_r = map(rows, (obs_b, act_b, logp_b, adv_b))
+        if cent_b is None:
+            # nmb=1 path: the critic's team-concat input is the same bytes
+            # as the actor obs — reshape, don't copy (obs_b is (T, E, A, D))
+            cent_b = obs_b.reshape(*obs_b.shape[:2], -1)
         cent_r, vpred_r, ret_r = map(rows, (cent_b, vpred_b, ret_target))
         bf16 = self._net_dtype == jnp.bfloat16
         n_layers = cfg.layer_n + 1

@@ -24,13 +24,22 @@ loss **and the parameter gradients** for a whole minibatch —
   ``utils/util.py:36-38``: ``b = (e > delta)`` only — the negative branch
   really is flat zero, replicated exactly).
 
-Both return SUM-reduced losses/grads; the caller divides by the row count
-(mean-loss gradients) and applies loss coefficients. Gradient-tie
-conventions replicate JAX autodiff exactly: ``min``/``max`` split the
-cotangent 50/50 on ties (lax._balanced_eq), ``clip`` composes the two.
-Numerics are mode-faithful to the flax paths: bf16 operands with f32 MXU
-accumulation in bf16 mode, HIGHEST-precision f32 matmuls otherwise; all
-loss/backward elementwise math runs in float32.
+Layout note: the narrow per-row operands (actions, old log-probs,
+advantages, value targets — a few f32 per row) are packed into ONE
+TRANSPOSED ``(k, rows)`` auxiliary array. Row-major ``(rows, k)`` arrays
+at a TPU custom-call boundary get their k-wide minor dim tile-padded to
+128 lanes (a 64x HBM blowup that OOMs at 10M rows); transposed, the lane
+dim is ``rows`` and padding is negligible. All head/loss math inside the
+kernel runs in that ``(k, block)`` orientation via transposed
+``dot_general`` contractions — no in-kernel transposes of anything large.
+
+Both kernels return SUM-reduced losses/grads; the caller divides by the
+row count (mean-loss gradients) and applies loss coefficients.
+Gradient-tie conventions replicate JAX autodiff exactly: ``min``/``max``
+split the cotangent 50/50 on ties (lax._balanced_eq), ``clip`` composes
+the two. Numerics are mode-faithful to the flax paths: bf16 operands with
+f32 MXU accumulation in bf16 mode, HIGHEST-precision f32 matmuls
+otherwise; all loss/backward elementwise math runs in float32.
 
 Gradient-parity is asserted against ``jax.grad`` of the stock flax loss in
 ``tests/test_fused_ppo.py`` (interpreter mode).
@@ -50,32 +59,26 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_mlp import _forward_chain, _ln_bwd, _pad_rows
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+_VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-vmem cap (default 16MB)
 
 
-def _mm(a, b, bf16, transpose_a=False):
-    """Mode-faithful matmul: bf16 operands + f32 accumulate in bf16 mode,
-    HIGHEST-precision f32 otherwise. Returns f32."""
+def _dot(a, b, dims, bf16):
+    """Mode-faithful dot_general: bf16 operands + f32 accumulate in bf16
+    mode, HIGHEST-precision f32 otherwise. Returns f32."""
     dt = jnp.bfloat16 if bf16 else jnp.float32
     prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
-    dims = (((0,), (0,)), ((), ())) if transpose_a else (((1,), (0,)), ((), ()))
     return jax.lax.dot_general(
         a.astype(dt),
         b.astype(dt),
-        dimension_numbers=dims,
+        dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
     )
 
 
-def _head_fwd(feat, w, b, bf16):
-    """Dense head matching flax: bf16 matmul+bias then f32 cast in bf16
-    mode (Actor._head / Critic.__call__ cast), pure f32 otherwise."""
-    z = _mm(feat, w, bf16)
-    if bf16:
-        z = (z.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)).astype(jnp.float32)
-    else:
-        z = z + b.astype(jnp.float32)
-    return z
+def _mm(a, b, bf16, transpose_a=False):
+    dims = ((0,), (0,)) if transpose_a else ((1,), (0,))
+    return _dot(a, b, dims, bf16)
 
 
 def _balanced_lt(x, y):
@@ -94,10 +97,10 @@ def _clip_grad(x, lo, hi):
 
 
 def _trunk_bwd(g, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16):
-    """Backward through the trunk chain from feature cotangent ``g`` (f32),
-    accumulating parameter grads via ``accum(ref, val)``. Mirrors
-    fused_mlp._bwd_kernel's chain (mode-faithful matmuls); skips the d(input)
-    computation — observations need no gradient."""
+    """Backward through the trunk chain from feature cotangent ``g`` (f32,
+    (block, hidden)), accumulating parameter grads via ``accum(ref, val)``.
+    Mirrors fused_mlp._bwd_kernel's chain (mode-faithful matmuls); skips the
+    d(input) computation — observations need no gradient."""
     pi = len(params)
     gi = len(grad_refs)
     for li in reversed(range(n_layers)):
@@ -118,7 +121,8 @@ def _trunk_bwd(g, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, b
         gi -= 4
         pi -= 4
         if li > 0 or use_fn:
-            g = _mm(g, w.astype(jnp.float32).T, bf16)
+            # g @ w^T: contract the d_out dims
+            g = _dot(g, w, ((1,), (1,)), bf16)
     if use_fn:
         xhat, inv = cache["fn"]
         fs = params[0].astype(jnp.float32)
@@ -143,17 +147,16 @@ def _make_accum():
 # ---------------------------------------------------------------------------
 # actor: clipped-surrogate policy loss + grads
 # ---------------------------------------------------------------------------
+# aux_T rows: [action_0..action_{A-1}, old_log_prob, advantage, valid]
 
-def _actor_kernel(
-    *refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim
-):
+def _actor_kernel(*refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim):
     n_trunk = (2 if use_fn else 0) + 4 * n_layers
-    n_in = 4 + n_trunk + 3  # x, act, old_logp, adv, trunk..., Wh, bh, log_std
-    (x_ref, act_ref, oldlp_ref, adv_ref) = refs[:4]
-    trunk_refs = refs[4 : 4 + n_trunk]
-    wh_ref, bh_ref, ls_ref = refs[4 + n_trunk : n_in]
+    n_in = 2 + n_trunk + 3  # x, aux_T, trunk..., Wh, bh_T, log_std_T
+    x_ref, aux_ref = refs[:2]
+    trunk_refs = refs[2 : 2 + n_trunk]
+    wh_ref, bh_ref, ls_ref = refs[2 + n_trunk : n_in]
     out_refs = refs[n_in:]
-    # outputs: trunk grads..., dWh, dbh, dlog_std, metrics (1, 2)
+    # outputs: trunk grads..., dWh, dbh_T (act,1), dlog_std_T (act,1), met (1,2)
     grad_refs = out_refs[:n_trunk]
     dwh_ref, dbh_ref, dls_ref, met_ref = out_refs[n_trunk:]
     accum = _make_accum()
@@ -161,27 +164,38 @@ def _actor_kernel(
     params = [p[:] for p in trunk_refs]
     feat, cache = _forward_chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
 
-    wh = wh_ref[:]
-    mean = _head_fwd(feat, wh, bh_ref[:], bf16)  # (bs, act) f32
-    log_std = ls_ref[:].astype(jnp.float32)  # (1, act)
-    a = act_ref[:].astype(jnp.float32)
-    inv_std = jnp.exp(-log_std)
-    z = (a - mean) * inv_std
+    wh = wh_ref[:]  # (H, act)
+    # mean_T[d, r] = sum_h Wh[h, d] * feat[r, h]  -> (act, block)
+    mean_T = _dot(wh, feat, ((0,), (1,)), bf16)
+    bh_T = bh_ref[:]  # (act, 1)
+    if bf16:
+        mean_T = (
+            mean_T.astype(jnp.bfloat16) + bh_T.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+    else:
+        mean_T = mean_T + bh_T.astype(jnp.float32)
+
+    aux = aux_ref[:].astype(jnp.float32)  # (act+3, block)
+    a_T = aux[0:act_dim, :]
+    old_lp = aux[act_dim : act_dim + 1, :]
+    adv = aux[act_dim + 1 : act_dim + 2, :]
+    valid = aux[act_dim + 2 : act_dim + 3, :]
+
+    log_std_T = ls_ref[:].astype(jnp.float32)  # (act, 1)
+    inv_std = jnp.exp(-log_std_T)
+    z = (a_T - mean_T) * inv_std  # (act, block)
     lp = jnp.sum(
-        -0.5 * z * z - log_std - _LOG_SQRT_2PI, axis=-1, keepdims=True
-    )  # (bs, 1)
-    oldcol = oldlp_ref[:].astype(jnp.float32)  # (bs, 2): [old_lp, valid]
-    old_lp, valid = oldcol[:, 0:1], oldcol[:, 1:2]
-    adv = adv_ref[:].astype(jnp.float32)
+        -0.5 * z * z - log_std_T - _LOG_SQRT_2PI, axis=0, keepdims=True
+    )  # (1, block)
     ratio = jnp.exp(lp - old_lp)
     clipped = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param)
     s1 = ratio * adv
     s2 = clipped * adv
-    loss_rows = -jnp.minimum(s1, s2)  # (bs, 1); sum(-1, keepdims) is identity
+    loss_rows = -jnp.minimum(s1, s2)  # (1, block)
 
-    # padded rows carry adv=0 -> zero loss and zero backward terms (every
+    # padded columns carry adv=0 -> zero loss and zero backward terms (every
     # gradient below is proportional to adv); the ratio METRIC is not
-    # adv-weighted, so it is masked by the validity column explicitly
+    # adv-weighted, so it is masked by the validity row explicitly
     accum(
         met_ref,
         jnp.concatenate(
@@ -195,16 +209,18 @@ def _actor_kernel(
 
     # ---- backward (all f32) ----
     w1 = _balanced_lt(s1, s2)
-    dratio = -(w1 * adv + (1.0 - w1) * adv * _clip_grad(
-        ratio, 1.0 - clip_param, 1.0 + clip_param
-    ))
-    dlp = dratio * ratio  # (bs, 1)
-    dmean = dlp * z * inv_std  # (bs, act)
-    dls = jnp.sum(dlp * (z * z - 1.0), axis=0, keepdims=True)  # (1, act)
-    accum(dls_ref, dls)
-    accum(dbh_ref, jnp.sum(dmean, axis=0, keepdims=True))
-    accum(dwh_ref, _mm(feat, dmean, bf16, transpose_a=True))
-    g_feat = _mm(dmean, wh.astype(jnp.float32).T, bf16)
+    dratio = -(
+        w1 * adv
+        + (1.0 - w1) * adv * _clip_grad(ratio, 1.0 - clip_param, 1.0 + clip_param)
+    )
+    dlp = dratio * ratio  # (1, block)
+    dmean_T = dlp * z * inv_std  # (act, block)
+    accum(dls_ref, jnp.sum(dlp * (z * z - 1.0), axis=1, keepdims=True))
+    accum(dbh_ref, jnp.sum(dmean_T, axis=1, keepdims=True))
+    # dWh[h, d] = sum_r feat[r, h] * dmean_T[d, r]
+    accum(dwh_ref, _dot(feat, dmean_T, ((0,), (1,)), bf16))
+    # g_feat[r, h] = sum_d dmean_T[d, r] * Wh[h, d]
+    g_feat = _dot(dmean_T, wh.astype(jnp.float32), ((0,), (1,)), bf16)
     _trunk_bwd(
         g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
     )
@@ -213,6 +229,7 @@ def _actor_kernel(
 # ---------------------------------------------------------------------------
 # critic: clipped + (one-sided) Huber value loss + grads
 # ---------------------------------------------------------------------------
+# aux_T rows: [vpred, ret_target, valid]
 
 def _critic_kernel(
     *refs,
@@ -226,10 +243,10 @@ def _critic_kernel(
     use_clipped,
 ):
     n_trunk = (2 if use_fn else 0) + 4 * n_layers
-    n_in = 3 + n_trunk + 2  # cent, vpred, ret, trunk..., wv, bv
-    (x_ref, vpred_ref, ret_ref) = refs[:3]
-    trunk_refs = refs[3 : 3 + n_trunk]
-    wv_ref, bv_ref = refs[3 + n_trunk : n_in]
+    n_in = 2 + n_trunk + 2  # cent, aux_T, trunk..., wv, bv_T
+    x_ref, aux_ref = refs[:2]
+    trunk_refs = refs[2 : 2 + n_trunk]
+    wv_ref, bv_ref = refs[2 + n_trunk : n_in]
     out_refs = refs[n_in:]
     grad_refs = out_refs[:n_trunk]
     dwv_ref, dbv_ref, met_ref = out_refs[n_trunk:]
@@ -237,20 +254,18 @@ def _critic_kernel(
 
     params = [p[:] for p in trunk_refs]
     feat, cache = _forward_chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
-    wv = wv_ref[:]
-    v = _head_fwd(feat, wv, bv_ref[:], bf16)  # (bs, 1) f32
+    wv = wv_ref[:]  # (H, 1)
+    v = _dot(wv, feat, ((0,), (1,)), bf16)  # (1, block)
+    bv_T = bv_ref[:]  # (1, 1)
+    if bf16:
+        v = (v.astype(jnp.bfloat16) + bv_T.astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        v = v + bv_T.astype(jnp.float32)
 
-    vpred = vpred_ref[:].astype(jnp.float32)
-    ret = ret_ref[:].astype(jnp.float32)
-
-    # mark padded rows: vpred/ret are zero-padded and a real row with both
-    # exactly zero is measure-zero; valid flags ride in via vpred's second
-    # column? -- instead the caller pads ret with v-matching zeros and we
-    # mask by the row-validity input baked into ret's padding (see call:
-    # padded rows get ret=0, vpred=0 AND valid=0 via the mask column trick
-    # is avoided -- we pass a validity column in vpred_ref[:, 1:2]).
-    valid = vpred_ref[:].astype(jnp.float32)[:, 1:2]
-    vpred = vpred[:, 0:1]
+    aux = aux_ref[:].astype(jnp.float32)  # (3, block)
+    vpred = aux[0:1, :]
+    ret = aux[1:2, :]
+    valid = aux[2:3, :]
 
     if use_huber:
         # utils/util.py:36-38: a*e^2/2 + b*delta*(|e| - delta/2),
@@ -288,11 +303,13 @@ def _critic_kernel(
         loss_rows = lf(err) * valid
         accum(met_ref, jnp.sum(loss_rows).reshape(1, 1))
         dloss_dv = -dlf(err)
-    dv = dloss_dv * valid  # (bs, 1) f32
+    dv = dloss_dv * valid  # (1, block)
 
-    accum(dbv_ref, jnp.sum(dv, axis=0, keepdims=True))
-    accum(dwv_ref, _mm(feat, dv, bf16, transpose_a=True))
-    g_feat = _mm(dv, wv.astype(jnp.float32).T, bf16)
+    accum(dbv_ref, jnp.sum(dv, axis=1, keepdims=True))
+    # dwv[h, 0] = sum_r feat[r, h] * dv[0, r]
+    accum(dwv_ref, _dot(feat, dv, ((0,), (1,)), bf16))
+    # g_feat[r, h] = dv[0, r] * wv[h, 0]
+    g_feat = _dot(dv, wv.astype(jnp.float32), ((0,), (1,)), bf16)
     _trunk_bwd(
         g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
     )
@@ -302,11 +319,18 @@ def _critic_kernel(
 # host-side wrappers
 # ---------------------------------------------------------------------------
 
+def _pad_cols(x, block):
+    c = x.shape[1]
+    pad = (-c) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
 @lru_cache(maxsize=None)
 def _make_actor_op(
     n_layers, use_fn, use_relu, bf16, clip_param, act_dim, block_rows, interpret
 ):
-    n_trunk = (2 if use_fn else 0) + 4 * n_layers
     kw = dict(
         n_layers=n_layers,
         use_fn=use_fn,
@@ -320,52 +344,53 @@ def _make_actor_op(
     def op(x, act, old_lp, adv, trunk_params, wh, bh, log_std):
         rows = x.shape[0]
         xp = _pad_rows(x, block_rows)
-        # zero-padding: padded rows have adv=0 -> zero loss and zero grads
-        actp = _pad_rows(act, block_rows)
-        oldp = _pad_rows(
-            jnp.concatenate([old_lp, jnp.ones_like(old_lp)], axis=1), block_rows
+        # packed transposed aux: [act.T; old_lp.T; adv.T; valid.T] — column
+        # padding produces adv=0/valid=0 rows (zero loss, zero grads)
+        aux = jnp.concatenate(
+            [
+                act.T.astype(jnp.float32),
+                old_lp.T.astype(jnp.float32),
+                adv.T.astype(jnp.float32),
+                jnp.ones((1, rows), jnp.float32),
+            ],
+            axis=0,
         )
-        advp = _pad_rows(adv, block_rows)
+        auxp = _pad_cols(aux, block_rows)
         grid = (xp.shape[0] // block_rows,)
         row_spec = lambda d: pl.BlockSpec(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        aux_spec = pl.BlockSpec(
+            (act_dim + 3, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         acc_spec = lambda shp: pl.BlockSpec(
             shp, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         p2 = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in trunk_params)
-        wh2 = wh
-        bh2 = bh.reshape(1, -1)
-        ls2 = log_std.reshape(1, -1)
+        bh2 = bh.reshape(-1, 1)  # (act, 1)
+        ls2 = log_std.reshape(-1, 1)
         grad_shapes = tuple(
             jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2
         ) + (
-            jax.ShapeDtypeStruct(wh2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(bh2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(ls2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wh.shape, jnp.float32),
+            jax.ShapeDtypeStruct((act_dim, 1), jnp.float32),
+            jax.ShapeDtypeStruct((act_dim, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),  # [loss_sum, ratio_sum]
         )
         acc_specs = tuple(acc_spec(s.shape) for s in grad_shapes)
         outs = pl.pallas_call(
             partial(_actor_kernel, **kw),
             grid=grid,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            in_specs=[
-                row_spec(x.shape[1]),
-                row_spec(act.shape[1]),
-                row_spec(2),
-                row_spec(1),
-            ]
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            in_specs=[row_spec(x.shape[1]), aux_spec]
             + [const_spec()] * (len(p2) + 3),
             out_specs=acc_specs,
             out_shape=grad_shapes,
             interpret=interpret,
-        )(xp, actp, oldp, advp, *p2, wh2, bh2, ls2)
+        )(xp, auxp, *p2, wh, bh2, ls2)
         trunk_grads = outs[: len(p2)]
         dwh, dbh, dls, met = outs[len(p2) :]
-        return trunk_grads, dwh, dbh[0], dls[0], met[0]
+        return trunk_grads, dwh, dbh[:, 0], dls[:, 0], met[0]
 
     return op
 
@@ -398,48 +423,48 @@ def _make_critic_op(
     def op(cent, vpred, ret, trunk_params, wv, bv):
         rows = cent.shape[0]
         xp = _pad_rows(cent, block_rows)
-        # validity column distinguishes padded rows (vpred alone can't:
-        # real rows can have vpred == ret == 0 transiently)
-        vpad = _pad_rows(
-            jnp.concatenate(
-                [vpred, jnp.ones_like(vpred)], axis=1
-            ),
-            block_rows,
+        aux = jnp.concatenate(
+            [
+                vpred.T.astype(jnp.float32),
+                ret.T.astype(jnp.float32),
+                jnp.ones((1, rows), jnp.float32),
+            ],
+            axis=0,
         )
-        rpad = _pad_rows(ret, block_rows)
+        auxp = _pad_cols(aux, block_rows)
         grid = (xp.shape[0] // block_rows,)
         row_spec = lambda d: pl.BlockSpec(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        aux_spec = pl.BlockSpec(
+            (3, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         acc_spec = lambda shp: pl.BlockSpec(
             shp, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         p2 = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in trunk_params)
-        wv2 = wv
-        bv2 = bv.reshape(1, -1)
+        bv2 = bv.reshape(-1, 1)  # (1, 1)
         grad_shapes = tuple(
             jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2
         ) + (
-            jax.ShapeDtypeStruct(wv2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(bv2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wv.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # [value_loss_sum]
         )
         acc_specs = tuple(acc_spec(s.shape) for s in grad_shapes)
         outs = pl.pallas_call(
             partial(_critic_kernel, **kw),
             grid=grid,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            in_specs=[row_spec(cent.shape[1]), row_spec(2), row_spec(1)]
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            in_specs=[row_spec(cent.shape[1]), aux_spec]
             + [const_spec()] * (len(p2) + 2),
             out_specs=acc_specs,
             out_shape=grad_shapes,
             interpret=interpret,
-        )(xp, vpad, rpad, *p2, wv2, bv2)
+        )(xp, auxp, *p2, wv, bv2)
         trunk_grads = outs[: len(p2)]
         dwv, dbv, met = outs[len(p2) :]
-        return trunk_grads, dwv, dbv[0], met[0]
+        return trunk_grads, dwv, dbv[:, 0], met[0]
 
     return op
 
