@@ -29,6 +29,7 @@ Semantics parity notes (all against ``/root/reference/uav_dcc_control``):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -120,7 +121,13 @@ class MAPPOConfig(NamedTuple):
     # the equal-weight mean of chunk means) but bounds activation memory to
     # one chunk — the lever for very large env counts where even remat OOMs
     # because the full (T*E*A, hidden) forward activations exceed HBM.
-    # 1 (default) = single pass. Feed-forward shared-policy path only.
+    # 1 (default) = single pass. Feed-forward shared-policy path only, and
+    # bypassed when the fused-loss kernels are active (they materialize
+    # nothing row-sized). Recurrent configs use num_mini_batch as their
+    # memory lever instead: each minibatch is a random CHUNK subset, so
+    # nmb=k bounds live sequence activations to 1/k of the batch (with
+    # different optimizer semantics than accumulation — minibatched PPO is
+    # what the reference's recurrent_generator does anyway).
     update_chunks: int = 1
     # MLP trunk backend: "auto" runs the trunk as the fused Pallas kernel
     # (ops/fused_mlp: VMEM-resident LN->Dense->act->LN chain + remat-in-
@@ -1537,10 +1544,8 @@ class MAPPO:
 
         # dist_entropy: constant per row for the state-independent gaussian
         # (ent.sum(-1).mean() == sum over dims of 0.5 + 0.5 log 2pi + log_std)
-        import math as _math
-
         dist_entropy = jnp.sum(
-            0.5 + 0.5 * _math.log(2.0 * _math.pi) + pa["log_std"]
+            0.5 + 0.5 * math.log(2.0 * math.pi) + pa["log_std"]
         )
         metrics = jnp.stack(
             [
