@@ -1290,6 +1290,10 @@ class MAPPO:
             # loss kernels nothing (rows, hidden)-sized is ever materialized,
             # so the single-pass path is both legal and faster at any size
             return self._update_ff_chunked(ts, traj, adv_n, returns)
+        if self._fused_loss and cfg.num_mini_batch == 1:
+            # hoisted-invariants fused epochs (packing built once, value
+            # normalizer applied in-kernel from per-epoch scalars)
+            return self._update_fused_full(ts, traj, adv_n, returns)
 
         # Under bf16 compute, store the network inputs (the dominant HBM
         # traffic — re-read every epoch) in bf16 up front. The only
@@ -1437,13 +1441,94 @@ class MAPPO:
             i += 4
         return base
 
+    def _fused_core(
+        self, actor_params, critic_params, a_opt, c_opt,
+        obs_p, aux_a, cent_p, aux_c, norm, n_a, n_c,
+    ):
+        """Shared body of the fused-loss update: run both kernels on
+        pre-packed inputs, assemble/scale the gradient trees, apply the
+        optimizers, compute metrics. ``norm`` = [[shift, scale]] applies the
+        value normalizer to the RAW returns in-kernel."""
+        from ..ops import fused_ppo as FP
+
+        cfg = self.cfg
+        bf16 = self._net_dtype == jnp.bfloat16
+        n_layers = cfg.layer_n + 1
+        common = dict(
+            n_layers=n_layers,
+            use_feature_norm=cfg.use_feature_normalization,
+            use_relu=cfg.use_relu,
+            bf16=bf16,
+            clip_param=cfg.clip_param,
+            block_rows=cfg.fused_block_rows,
+            interpret=self._fused_loss_interpret,
+        )
+        pa = actor_params["params"]
+        tg_a, dwh, dbh, dls, met_a = FP.actor_ppo_grads_packed(
+            obs_p, aux_a, self._trunk_flat(actor_params),
+            pa["act_out"]["kernel"], pa["act_out"]["bias"], pa["log_std"],
+            act_dim=int(pa["log_std"].shape[-1]), **common,
+        )
+        # total-loss actor grads: policy term (mean over rows) + the entropy
+        # bonus, which for the state-independent gaussian touches only
+        # log_std: d(-coef * mean(ent))/dlog_std_d = -coef
+        a_grads = {
+            "params": {
+                "base": self._trunk_unflat(tg_a, 1.0 / n_a),
+                "act_out": {"kernel": dwh / n_a, "bias": dbh / n_a},
+                "log_std": dls / n_a - cfg.entropy_coef,
+            }
+        }
+
+        pc = critic_params["params"]
+        tg_c, dwv, dbv, met_c = FP.critic_value_grads_packed(
+            cent_p, aux_c, norm, self._trunk_flat(critic_params),
+            pc["v_out"]["kernel"], pc["v_out"]["bias"],
+            huber_delta=cfg.huber_delta,
+            use_huber=cfg.use_huber_loss,
+            use_clipped=cfg.use_clipped_value_loss,
+            **common,
+        )
+        cs = cfg.value_loss_coef / n_c
+        c_grads = {
+            "params": {
+                "base": self._trunk_unflat(tg_c, cs),
+                "v_out": {"kernel": dwv * cs, "bias": dbv * cs},
+            }
+        }
+
+        a_norm = optax.global_norm(a_grads)
+        c_norm = optax.global_norm(c_grads)
+        a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+        actor_params = optax.apply_updates(actor_params, a_updates)
+        c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+        critic_params = optax.apply_updates(critic_params, c_updates)
+
+        # dist_entropy: constant per row for the state-independent gaussian
+        # (ent.sum(-1).mean() == sum over dims of 0.5 + 0.5 log 2pi + log_std)
+        dist_entropy = jnp.sum(
+            0.5 + 0.5 * math.log(2.0 * math.pi) + pa["log_std"]
+        )
+        metrics = jnp.stack(
+            [
+                met_c[0] / n_c,
+                met_a[0] / n_a,
+                dist_entropy,
+                a_norm,
+                c_norm,
+                met_a[1] / n_a,
+            ]
+        )
+        return actor_params, critic_params, a_opt, c_opt, metrics
+
     def _fused_minibatch_update(self, carry, mb):
         """One optimizer step computed by the fully-fused PPO kernels
-        (ops/fused_ppo): loss AND gradients in one Pallas pass per network —
-        same math as `_ff_minibatch_update` (gradient parity pinned in
-        tests/test_fused_ppo.py / test_fused_loss_integration), none of the
-        (rows, hidden) intermediates in HBM."""
+        (ops/fused_ppo) on a gathered minibatch (the num_mini_batch>1 path;
+        packing happens per call since the rows differ each time). Same math
+        as `_ff_minibatch_update` — gradient parity pinned in
+        tests/test_fused_ppo.py."""
         from ..ops import fused_ppo as FP
+        from ..ops.fused_mlp import _pad_rows
 
         cfg = self.cfg
         actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
@@ -1477,85 +1562,16 @@ class MAPPO:
             # as the actor obs — reshape, don't copy (obs_b is (T, E, A, D))
             cent_b = obs_b.reshape(*obs_b.shape[:2], -1)
         cent_r, vpred_r, ret_r = map(rows, (cent_b, vpred_b, ret_target))
-        bf16 = self._net_dtype == jnp.bfloat16
-        n_layers = cfg.layer_n + 1
-        common = dict(
-            n_layers=n_layers,
-            use_feature_norm=cfg.use_feature_normalization,
-            use_relu=cfg.use_relu,
-            bf16=bf16,
-            clip_param=cfg.clip_param,
-            block_rows=cfg.fused_block_rows,
-            interpret=self._fused_loss_interpret,
-        )
-
-        pa = actor_params["params"]
-        tg_a, dwh, dbh, dls, met_a = FP.actor_ppo_grads(
-            obs_r,
-            act_r,
-            logp_r,
-            adv_r,
-            self._trunk_flat(actor_params),
-            pa["act_out"]["kernel"],
-            pa["act_out"]["bias"],
-            pa["log_std"],
-            **common,
-        )
-        n_a = obs_r.shape[0]
-        # total-loss actor grads: policy term (mean over rows) + the entropy
-        # bonus, which for the state-independent gaussian touches only
-        # log_std: d(-coef * mean(ent))/dlog_std_d = -coef
-        a_grads = {
-            "params": {
-                "base": self._trunk_unflat(tg_a, 1.0 / n_a),
-                "act_out": {"kernel": dwh / n_a, "bias": dbh / n_a},
-                "log_std": dls / n_a - cfg.entropy_coef,
-            }
-        }
-
-        pc = critic_params["params"]
-        tg_c, dwv, dbv, met_c = FP.critic_value_grads(
-            cent_r,
-            vpred_r,
-            ret_r,
-            self._trunk_flat(critic_params),
-            pc["v_out"]["kernel"],
-            pc["v_out"]["bias"],
-            huber_delta=cfg.huber_delta,
-            use_huber=cfg.use_huber_loss,
-            use_clipped=cfg.use_clipped_value_loss,
-            **common,
-        )
-        n_c = cent_r.shape[0]
-        cs = cfg.value_loss_coef / n_c
-        c_grads = {
-            "params": {
-                "base": self._trunk_unflat(tg_c, cs),
-                "v_out": {"kernel": dwv * cs, "bias": dbv * cs},
-            }
-        }
-
-        a_norm = optax.global_norm(a_grads)
-        c_norm = optax.global_norm(c_grads)
-        a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
-        actor_params = optax.apply_updates(actor_params, a_updates)
-        c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
-        critic_params = optax.apply_updates(critic_params, c_updates)
-
-        # dist_entropy: constant per row for the state-independent gaussian
-        # (ent.sum(-1).mean() == sum over dims of 0.5 + 0.5 log 2pi + log_std)
-        dist_entropy = jnp.sum(
-            0.5 + 0.5 * math.log(2.0 * math.pi) + pa["log_std"]
-        )
-        metrics = jnp.stack(
-            [
-                met_c[0] / n_c,
-                met_a[0] / n_a,
-                dist_entropy,
-                a_norm,
-                c_norm,
-                met_a[1] / n_a,
-            ]
+        br = cfg.fused_block_rows
+        actor_params, critic_params, a_opt, c_opt, metrics = self._fused_core(
+            actor_params, critic_params, a_opt, c_opt,
+            _pad_rows(obs_r, br),
+            FP.pack_actor_aux(act_r, logp_r, adv_r, br),
+            _pad_rows(cent_r, br),
+            FP.pack_critic_aux(vpred_r, ret_r, br),
+            jnp.asarray([[0.0, 1.0]], jnp.float32),  # ret pre-normalized
+            obs_r.shape[0],
+            cent_r.shape[0],
         )
         return (
             actor_params,
@@ -1566,6 +1582,104 @@ class MAPPO:
             popart,
             count + 1,
         ), metrics
+
+    def _update_fused_full(self, ts: TrainState, traj: Trajectory, adv_n, returns):
+        """num_mini_batch=1 fused-loss epochs with every loop-invariant
+        hoisted out of the epoch scan: the obs rows / packed aux arrays are
+        built ONCE (the round-3 device trace showed their per-epoch
+        repacking cost ~340 ms of relayout copies per iteration), and the
+        value normalizer is applied in-kernel from per-epoch (shift, scale)
+        scalars instead of re-materializing normalized returns."""
+        from ..ops import fused_ppo as FP
+        from ..ops.fused_mlp import _pad_rows
+
+        cfg = self.cfg
+        T, E, A, _ = traj.actions.shape
+        R, Rv = T * E * A, T * E
+        net_in = (
+            (lambda x: x.astype(self._net_dtype))
+            if self._net_dtype is not None
+            else (lambda x: x)
+        )
+        br = cfg.fused_block_rows
+        obs_in = net_in(traj.obs[:-1])
+        obs_p = _pad_rows(obs_in.reshape(R, *self._obs_shape), br)
+        cent_p = _pad_rows(obs_in.reshape(Rv, A * self.obs_dim), br)
+        aux_a = FP.pack_actor_aux(
+            traj.actions.reshape(R, -1),
+            traj.log_probs.reshape(R, -1),
+            jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)).reshape(R, 1),
+            br,
+        )
+        aux_c = FP.pack_critic_aux(
+            traj.values[:-1].reshape(Rv, 1), returns.reshape(Rv, 1), br
+        )
+
+        def epoch(carry, _):
+            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+            # normalizer stats update BEFORE normalize (mappo.py:106-107);
+            # the normalize itself runs in-kernel via (shift, scale)
+            if cfg.use_valuenorm:
+                vnorm = VN.update(vnorm, returns)
+                mean, var = VN._stats(vnorm)
+                norm = jnp.concatenate(
+                    [mean, jnp.sqrt(var)]
+                ).reshape(1, 2).astype(jnp.float32)
+            elif cfg.use_popart:
+                kernel = critic_params["params"]["v_out"]["kernel"]
+                bias = critic_params["params"]["v_out"]["bias"]
+                popart, kernel, bias = PA.update(popart, kernel, bias, returns)
+                new_head = {
+                    **critic_params["params"]["v_out"],
+                    "kernel": kernel,
+                    "bias": bias,
+                }
+                critic_params = {
+                    **critic_params,
+                    "params": {**critic_params["params"], "v_out": new_head},
+                }
+                mean, var = PA._debiased(popart)
+                norm = jnp.concatenate(
+                    [mean, jnp.sqrt(var)]
+                ).reshape(1, 2).astype(jnp.float32)
+            else:
+                norm = jnp.asarray([[0.0, 1.0]], jnp.float32)
+            actor_params, critic_params, a_opt, c_opt, metrics = self._fused_core(
+                actor_params, critic_params, a_opt, c_opt,
+                obs_p, aux_a, cent_p, aux_c, norm, R, Rv,
+            )
+            return (
+                actor_params,
+                critic_params,
+                a_opt,
+                c_opt,
+                vnorm,
+                popart,
+                count + 1,
+            ), metrics
+
+        carry = (
+            ts.actor_params,
+            ts.critic_params,
+            ts.actor_opt,
+            ts.critic_opt,
+            ts.vnorm,
+            ts.popart,
+            ts.update_count,
+        )
+        carry, metrics = jax.lax.scan(epoch, carry, None, length=cfg.ppo_epoch)
+        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        ts = ts.replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=a_opt,
+            critic_opt=c_opt,
+            vnorm=vnorm,
+            popart=popart,
+            update_count=count,
+            iteration=ts.iteration + 1,
+        )
+        return ts, metrics.mean(axis=0)
 
     def _ff_minibatch_update(self, carry, mb):
         """One optimizer step on one feed-forward minibatch — the loss/

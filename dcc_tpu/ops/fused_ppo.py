@@ -229,7 +229,11 @@ def _actor_kernel(*refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim):
 # ---------------------------------------------------------------------------
 # critic: clipped + (one-sided) Huber value loss + grads
 # ---------------------------------------------------------------------------
-# aux_T rows: [vpred, ret_target, valid]
+# aux_T rows: [vpred, ret_raw, valid]; norm (1, 2) = [shift, scale] applies
+# the caller's value normalizer in-kernel: ret_target = (ret_raw - shift) /
+# scale — bit-identical to ValueNorm/PopArt normalize ((x - mean)/sqrt(var))
+# with shift=mean, scale=sqrt(var). Keeps the big aux array loop-invariant
+# across the epoch scan (only the two scalars change per epoch).
 
 def _critic_kernel(
     *refs,
@@ -243,10 +247,10 @@ def _critic_kernel(
     use_clipped,
 ):
     n_trunk = (2 if use_fn else 0) + 4 * n_layers
-    n_in = 2 + n_trunk + 2  # cent, aux_T, trunk..., wv, bv_T
-    x_ref, aux_ref = refs[:2]
-    trunk_refs = refs[2 : 2 + n_trunk]
-    wv_ref, bv_ref = refs[2 + n_trunk : n_in]
+    n_in = 3 + n_trunk + 2  # cent, aux_T, norm, trunk..., wv, bv_T
+    x_ref, aux_ref, norm_ref = refs[:3]
+    trunk_refs = refs[3 : 3 + n_trunk]
+    wv_ref, bv_ref = refs[3 + n_trunk : n_in]
     out_refs = refs[n_in:]
     grad_refs = out_refs[:n_trunk]
     dwv_ref, dbv_ref, met_ref = out_refs[n_trunk:]
@@ -264,7 +268,8 @@ def _critic_kernel(
 
     aux = aux_ref[:].astype(jnp.float32)  # (3, block)
     vpred = aux[0:1, :]
-    ret = aux[1:2, :]
+    norm = norm_ref[:].astype(jnp.float32)  # (1, 2): [shift, scale]
+    ret = (aux[1:2, :] - norm[0:1, 0:1]) / norm[0:1, 1:2]
     valid = aux[2:3, :]
 
     if use_huber:
@@ -327,6 +332,39 @@ def _pad_cols(x, block):
     return x
 
 
+def pack_actor_aux(act, old_lp, adv, block_rows):
+    """Pack the actor's per-row operands into the transposed (act+3, Rp)
+    aux array ONCE — loop-invariant across the epoch scan (the column
+    padding produces adv=0/valid=0 rows: zero loss, zero grads)."""
+    rows = act.shape[0]
+    aux = jnp.concatenate(
+        [
+            act.T.astype(jnp.float32),
+            old_lp.T.astype(jnp.float32),
+            adv.T.astype(jnp.float32),
+            jnp.ones((1, rows), jnp.float32),
+        ],
+        axis=0,
+    )
+    return _pad_cols(aux, block_rows)
+
+
+def pack_critic_aux(vpred, ret_raw, block_rows):
+    """Pack the critic's per-row operands ([vpred, RAW returns, valid]) —
+    loop-invariant: the value normalizer is applied in-kernel from the
+    per-epoch (shift, scale) scalars."""
+    rows = vpred.shape[0]
+    aux = jnp.concatenate(
+        [
+            vpred.T.astype(jnp.float32),
+            ret_raw.T.astype(jnp.float32),
+            jnp.ones((1, rows), jnp.float32),
+        ],
+        axis=0,
+    )
+    return _pad_cols(aux, block_rows)
+
+
 @lru_cache(maxsize=None)
 def _make_actor_op(
     n_layers, use_fn, use_relu, bf16, clip_param, act_dim, block_rows, interpret
@@ -341,21 +379,7 @@ def _make_actor_op(
     )
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def op(x, act, old_lp, adv, trunk_params, wh, bh, log_std):
-        rows = x.shape[0]
-        xp = _pad_rows(x, block_rows)
-        # packed transposed aux: [act.T; old_lp.T; adv.T; valid.T] — column
-        # padding produces adv=0/valid=0 rows (zero loss, zero grads)
-        aux = jnp.concatenate(
-            [
-                act.T.astype(jnp.float32),
-                old_lp.T.astype(jnp.float32),
-                adv.T.astype(jnp.float32),
-                jnp.ones((1, rows), jnp.float32),
-            ],
-            axis=0,
-        )
-        auxp = _pad_cols(aux, block_rows)
+    def op(xp, auxp, trunk_params, wh, bh, log_std):
         grid = (xp.shape[0] // block_rows,)
         row_spec = lambda d: pl.BlockSpec(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -382,7 +406,7 @@ def _make_actor_op(
             partial(_actor_kernel, **kw),
             grid=grid,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-            in_specs=[row_spec(x.shape[1]), aux_spec]
+            in_specs=[row_spec(xp.shape[1]), aux_spec]
             + [const_spec()] * (len(p2) + 3),
             out_specs=acc_specs,
             out_shape=grad_shapes,
@@ -393,6 +417,21 @@ def _make_actor_op(
         return trunk_grads, dwh, dbh[:, 0], dls[:, 0], met[0]
 
     return op
+
+
+def actor_ppo_grads_packed(
+    xp, auxp, trunk_params, head_kernel, head_bias, log_std, *,
+    n_layers, use_feature_norm=True, use_relu=True, bf16=False,
+    clip_param=0.2, act_dim=2, block_rows=2048, interpret=False,
+):
+    """Like :func:`actor_ppo_grads` but on pre-padded ``xp`` (rows already
+    a block_rows multiple) and a pre-packed aux from :func:`pack_actor_aux`
+    — the hot-loop entry (nothing per-call to re-pack)."""
+    op = _make_actor_op(
+        n_layers, use_feature_norm, use_relu, bool(bf16), float(clip_param),
+        act_dim, block_rows, interpret,
+    )
+    return op(xp, auxp, tuple(trunk_params), head_kernel, head_bias, log_std)
 
 
 @lru_cache(maxsize=None)
@@ -420,18 +459,7 @@ def _make_critic_op(
     )
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def op(cent, vpred, ret, trunk_params, wv, bv):
-        rows = cent.shape[0]
-        xp = _pad_rows(cent, block_rows)
-        aux = jnp.concatenate(
-            [
-                vpred.T.astype(jnp.float32),
-                ret.T.astype(jnp.float32),
-                jnp.ones((1, rows), jnp.float32),
-            ],
-            axis=0,
-        )
-        auxp = _pad_cols(aux, block_rows)
+    def op(xp, auxp, norm, trunk_params, wv, bv):
         grid = (xp.shape[0] // block_rows,)
         row_spec = lambda d: pl.BlockSpec(
             (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -456,17 +484,35 @@ def _make_critic_op(
             partial(_critic_kernel, **kw),
             grid=grid,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-            in_specs=[row_spec(cent.shape[1]), aux_spec]
+            in_specs=[row_spec(xp.shape[1]), aux_spec, const_spec()]
             + [const_spec()] * (len(p2) + 2),
             out_specs=acc_specs,
             out_shape=grad_shapes,
             interpret=interpret,
-        )(xp, auxp, *p2, wv, bv2)
+        )(xp, auxp, norm, *p2, wv, bv2)
         trunk_grads = outs[: len(p2)]
         dwv, dbv, met = outs[len(p2) :]
         return trunk_grads, dwv, dbv[:, 0], met[0]
 
     return op
+
+
+def critic_value_grads_packed(
+    xp, auxp, norm, trunk_params, head_kernel, head_bias, *,
+    n_layers, use_feature_norm=True, use_relu=True, bf16=False,
+    clip_param=0.2, huber_delta=10.0, use_huber=True, use_clipped=True,
+    block_rows=2048, interpret=False,
+):
+    """Like :func:`critic_value_grads` but on pre-padded ``xp``, a
+    pre-packed aux from :func:`pack_critic_aux` (RAW returns), and the
+    per-epoch normalizer scalars ``norm = [[shift, scale]]`` applied
+    in-kernel."""
+    op = _make_critic_op(
+        n_layers, use_feature_norm, use_relu, bool(bf16), float(clip_param),
+        float(huber_delta), bool(use_huber), bool(use_clipped), block_rows,
+        interpret,
+    )
+    return op(xp, auxp, norm, tuple(trunk_params), head_kernel, head_bias)
 
 
 def actor_ppo_grads(
@@ -503,8 +549,9 @@ def actor_ppo_grads(
         block_rows,
         interpret,
     )
-    return op(x, act, old_log_prob, adv, tuple(trunk_params), head_kernel,
-              head_bias, log_std)
+    xp = _pad_rows(x, block_rows)
+    auxp = pack_actor_aux(act, old_log_prob, adv, block_rows)
+    return op(xp, auxp, tuple(trunk_params), head_kernel, head_bias, log_std)
 
 
 def critic_value_grads(
@@ -542,4 +589,7 @@ def critic_value_grads(
         block_rows,
         interpret,
     )
-    return op(cent, vpred, ret_target, tuple(trunk_params), head_kernel, head_bias)
+    xp = _pad_rows(cent, block_rows)
+    auxp = pack_critic_aux(vpred, ret_target, block_rows)
+    norm = jnp.asarray([[0.0, 1.0]], jnp.float32)  # identity: ret pre-normalized
+    return op(xp, auxp, norm, tuple(trunk_params), head_kernel, head_bias)
