@@ -5,13 +5,14 @@ of vmapped envs x 150 steps + GAE + 15-epoch PPO update, all in one jitted
 program) on the default 4-UAV / 20-PoI config, in two configurations:
 
 * **bfloat16 production config (the headline)** — 16384 envs, mixed
-  precision (bf16 trunk matmuls on the MXU, f32 master weights /
-  distributions / losses), the Pallas fused-MLP trunk
-  (dcc_tpu/ops/fused_mlp, auto-selected), gradient accumulation over 4 row
-  chunks. The fastest measured single-chip configuration
-  (benchmarks/PERF_NOTES.md).
-* **float32 parity config** — 4096 envs, full float32, the bit-faithful
-  reference-semantics configuration.
+  precision (bf16 matmuls on the MXU, f32 master weights / distributions /
+  losses), the fully-fused Pallas PPO loss+gradient kernels
+  (dcc_tpu/ops/fused_ppo, auto-selected; they bypass the configured
+  update_chunks — nothing row-sized is materialized). The fastest measured
+  single-chip configuration (benchmarks/PERF_NOTES.md).
+* **float32 parity config** — 4096 envs, full float32 with the fused
+  kernels at HIGHEST matmul precision — the reference-semantics
+  configuration.
 
 Also measures the two phase-isolated rates of BASELINE config #4 at the
 headline shape:
@@ -211,7 +212,11 @@ def main():
         "vs_baseline": round(head_sps / base, 1) if base else None,
         "dtype": head_cfg["dtype"],
         "n_envs": head_cfg["n_envs"],
+        # the fused-loss kernels (auto-selected on a single TPU chip) bypass
+        # gradient-accumulation chunking entirely — report what actually ran
+        "fused_loss": "auto",
         "update_chunks": head_cfg["chunks"],
+        "update_chunks_effective": 1,
         "fused_trunk": head_cfg["fused"],
         "remat": head_cfg["remat"],
         "episode_length": T,
