@@ -285,3 +285,37 @@ def test_fused_loss_with_minibatches_and_popart():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-5
             ), extra
+
+
+def test_fused_loss_dispatch_rules():
+    """fused_loss resolution: auto is off on CPU, "on" requires the shared
+    feed-forward gaussian single-device config, and chunking is bypassed
+    when the kernels are active (the headline-config routing)."""
+    from dcc_tpu.algos import MAPPO, MAPPOConfig
+    from dcc_tpu.envs import EnvConfig
+
+    env = EnvConfig()
+    # auto resolves off on the CPU backend
+    assert not MAPPO(MAPPOConfig(), env)._fused_loss
+    # forcing works and bypasses update_chunks in update()'s routing
+    algo = MAPPO(
+        MAPPOConfig(fused_loss="interpret", update_chunks=2, fused_block_rows=32,
+                    n_rollout_threads=4, episode_length=8, ppo_epoch=1,
+                    hidden_size=32),
+        env,
+    )
+    assert algo._fused_loss
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.policy_loss))
+    # incompatible configs raise instead of silently degrading
+    with pytest.raises(ValueError):
+        MAPPO(MAPPOConfig(fused_loss="on", share_policy=False), env)
+    with pytest.raises(ValueError):
+        MAPPO(MAPPOConfig(fused_loss="on", use_recurrent_policy=True,
+                          episode_length=150), env)
+    with pytest.raises(ValueError):
+        MAPPO(
+            MAPPOConfig(fused_loss="on"),
+            EnvConfig(discrete_actions=True),
+        )
