@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.sharding import PartitionSpec as P
 
 from ..envs import EnvConfig, reset_batch, step_batch
 from ..envs.coverage import observation
@@ -265,11 +266,28 @@ class MAPPO:
             getattr(env_cfg, "obs_shape", (env_cfg.obs_dim,))
         )
         use_cnn = len(self._obs_shape) == 3
-        # Fused-trunk dispatch mirrors the Pallas-GAE policy: "auto" only on
-        # a single TPU chip (under a GSPMD mesh the opaque custom call would
-        # block XLA's env-axis sharding) and only for the shared-policy MLP
-        # path (the separated path vmaps the per-agent update).
+        # Fused-kernel dispatch: "auto" picks the Pallas kernels on TPU for
+        # the shared-policy MLP path (the separated path vmaps the per-agent
+        # update, which the kernels aren't built for). Under a multi-device
+        # mesh the opaque custom calls would block GSPMD's env-axis sharding
+        # if left to XLA — so the mesh path wraps them in jax.shard_map over
+        # the data axis instead (each shard runs the kernel on its local env
+        # rows, parameter-gradient accumulators are psum-reduced, params
+        # stay replicated): the measured single-chip rate carries per chip.
         single_dev = mesh is None or mesh.devices.size == 1
+        # the shard_map'd update splits the env axis evenly across shards
+        mesh_divides = single_dev or (
+            cfg.n_rollout_threads % mesh.devices.size == 0
+        )
+        # "is this a TPU?" must follow the devices the program will RUN on:
+        # with a mesh, its devices (a CPU device farm can be meshed while a
+        # TPU is attached as the default backend — the multichip dryrun);
+        # without one, the default backend.
+        if mesh is not None:
+            backend = mesh.devices.flat[0].platform
+        else:
+            backend = jax.default_backend()
+        self._tpu_backend = backend in ("tpu", "axon")
         if cfg.fused_trunk in ("on", "interpret"):
             # Forcing the kernel must not silently no-op or mis-shard: the
             # trunk has no CNN variant, the separated path vmaps the
@@ -286,11 +304,11 @@ class MAPPO:
                     "fused_trunk='on' requires share_policy=True (the "
                     "separated path vmaps per-agent params over the trunk)"
                 )
-            if not single_dev:
+            if not mesh_divides:
                 raise ValueError(
-                    "fused_trunk='on' is single-device only (the Pallas "
-                    "custom call blocks env-axis GSPMD sharding); use "
-                    "fused_trunk='auto' under a mesh"
+                    "fused_trunk='on' under a mesh needs n_rollout_threads "
+                    "divisible by the mesh size (the shard_map'd kernel "
+                    "splits the env axis evenly)"
                 )
             fused = True
         elif cfg.fused_trunk == "auto":
@@ -304,9 +322,20 @@ class MAPPO:
             fused = (
                 not use_cnn
                 and cfg.share_policy
-                and single_dev
                 and net_dtype == jnp.bfloat16
-                and jax.default_backend() in ("tpu", "axon")
+                and self._tpu_backend
+                # multi-device: only the feed-forward path (rollout rows
+                # shard cleanly; the recurrent sequence layout would route
+                # permutation-gathered rows through the shard_map'd kernel)
+                and (
+                    single_dev
+                    or (
+                        mesh_divides
+                        and not (
+                            cfg.use_recurrent_policy or cfg.use_naive_recurrent
+                        )
+                    )
+                )
             )
         elif cfg.fused_trunk == "off":
             fused = False
@@ -324,6 +353,9 @@ class MAPPO:
             fused=fused,
             fused_interpret=cfg.fused_trunk == "interpret",
             fused_block_rows=cfg.fused_block_rows,
+            # under a multi-device mesh the module shard_maps the trunk
+            # kernel over its row (env) axis so GSPMD keeps the env sharding
+            fused_mesh=mesh if (fused and not single_dev) else None,
         )
         actor_net_kwargs = dict(net_kwargs, use_cnn=use_cnn)
         # ACTLayer dispatch (act.py:19-41): the env config describes its
@@ -415,11 +447,16 @@ class MAPPO:
                     "fused_loss requires the shared feed-forward gaussian "
                     "policy (no CNN/recurrent/separated/discrete)"
                 )
-            if not single_dev:
+            if not single_dev and cfg.num_mini_batch != 1:
                 raise ValueError(
-                    "fused_loss is single-device only (the Pallas custom "
-                    "call blocks env-axis GSPMD sharding); use 'auto' under "
-                    "a mesh"
+                    "fused_loss under a multi-device mesh requires "
+                    "num_mini_batch=1 (the shard_map'd path; minibatch "
+                    "permutations gather rows across the env sharding)"
+                )
+            if not mesh_divides:
+                raise ValueError(
+                    "fused_loss under a mesh needs n_rollout_threads "
+                    "divisible by the mesh size"
                 )
             self._fused_loss = True
         elif cfg.fused_loss == "auto":
@@ -427,11 +464,13 @@ class MAPPO:
             # modes (bf16: 866k -> 1.40M; f32: 292k -> 342k env-steps/s,
             # benchmarks/PERF_NOTES.md) — and the f32 kernel runs
             # HIGHEST-precision matmuls, numerically closer to the torch
-            # reference than XLA's default single-bf16-pass f32 dots
+            # reference than XLA's default single-bf16-pass f32 dots.
+            # Multi-device meshes take the shard_map'd num_mini_batch=1
+            # path (nmb>1 would gather permuted rows across shards).
             self._fused_loss = (
                 fused_loss_ok
-                and single_dev
-                and jax.default_backend() in ("tpu", "axon")
+                and (single_dev or (cfg.num_mini_batch == 1 and mesh_divides))
+                and self._tpu_backend
             )
         elif cfg.fused_loss == "off":
             self._fused_loss = False
@@ -707,22 +746,29 @@ class MAPPO:
             if bad_masks is not None:
                 bad_masks = bad_masks[:, :, None, :]
         if cfg.use_gae:
-            # "auto": fused Pallas kernel on a single TPU chip; under a
-            # multi-device GSPMD mesh stay with lax.scan (an opaque custom
-            # call would force XLA to gather the env-sharded trajectory).
+            # "auto": fused Pallas kernel on TPU. Under a multi-device mesh
+            # the kernel is shard_map'd over the env axis — the reverse-time
+            # recurrence never crosses envs, so each shard runs it on its
+            # local rows with zero collectives (leaving the opaque custom
+            # call to GSPMD would instead force a full env-axis gather).
             # The bad_masks variant stays on the scan path.
             single_dev = self.mesh is None or self.mesh.devices.size == 1
             # the kernel computes the per-env layout; separated (per-agent
             # value axis) stays on the broadcasting scan path
             use_pallas = bad_masks is None and not self._sep and (
                 cfg.gae_backend == "pallas"
-                or (
-                    cfg.gae_backend == "auto"
-                    and single_dev
-                    and jax.default_backend() in ("tpu", "axon")
-                )
+                or (cfg.gae_backend == "auto" and self._tpu_backend)
             )
-            gae_fn = compute_gae_pallas if use_pallas else compute_gae
+            if use_pallas and not single_dev:
+                n_shards = self.mesh.devices.size
+                if rewards.shape[1] % n_shards == 0:
+                    gae_fn = self._gae_pallas_sharded
+                else:
+                    gae_fn = compute_gae
+            elif use_pallas:
+                gae_fn = compute_gae_pallas
+            else:
+                gae_fn = compute_gae
             adv, returns = gae_fn(
                 rewards,
                 values,
@@ -742,6 +788,31 @@ class MAPPO:
             )
             adv = returns - values[:-1]
         return adv, returns
+
+    def _gae_pallas_sharded(
+        self, rewards, values, masks, gamma, gae_lambda, interpret=False
+    ):
+        """Pallas GAE under a multi-device mesh: the reverse-time recurrence
+        is independent per env, so shard_map over the env axis runs the
+        kernel on each shard's local rows with zero collectives.
+        ``interpret`` runs the kernel through the Pallas interpreter (CPU
+        equivalence tests)."""
+        axis = self.mesh.axis_names[0]
+        spec = lambda x: P(*([None, axis] + [None] * (x.ndim - 2)))
+        fn = functools.partial(
+            compute_gae_pallas,
+            gamma=gamma,
+            gae_lambda=gae_lambda,
+            interpret=interpret,
+        )
+        return jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(spec(rewards), spec(values), spec(masks)),
+            out_specs=(spec(rewards), spec(rewards)),
+            # the vma analysis can't see through the Pallas custom call
+            check_vma=False,
+        )(rewards, values, masks)
 
     # ------------------------------------------------------------------
     # ppo update
@@ -775,16 +846,19 @@ class MAPPO:
         cent = net_in(traj.obs[:-1].reshape(T, E, A * self.obs_dim))
 
         move = lambda x: jnp.moveaxis(x, 2, 0)  # -> (A, T, E, .)
-        rep = lambda x: jnp.broadcast_to(x[None], (A,) + x.shape)  # team-shared
+        # team-shared fields (critic input, masks) ride into the per-agent
+        # vmap UN-replicated (in_axes=None): materializing A copies of the
+        # largest array (cent, (T, E, A*obs_dim)) just to batch it would be
+        # an A-times memory blowup (round-3 ADVICE)
         data = dict(
             obs=move(net_in(traj.obs[:-1])),
             act=move(traj.actions),
             logp=move(traj.log_probs),
             adv=move(adv_n),
-            cent=rep(cent),
+            cent=cent,
             vpred=move(traj.values[:-1]),
             ret=move(returns),
-            mask=rep(traj.masks[:-1]),
+            mask=traj.masks[:-1],
         )
         if self._recurrent:
             data["h_a"] = move(traj.actor_h)  # (A, T, E, rec_n, H)
@@ -796,7 +870,13 @@ class MAPPO:
             jnp.arange(A)
         )
         keys = jax.random.split(key, A)
-        ap, cp, ao, co, vn, pa, ms = jax.vmap(self._one_agent_update)(
+        data_axes = {k: 0 for k in data}
+        data_axes["cent"] = None
+        data_axes["mask"] = None
+        ap, cp, ao, co, vn, pa, ms = jax.vmap(
+            self._one_agent_update,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, data_axes),
+        )(
             ts.actor_params,
             ts.critic_params,
             ts.actor_opt,
@@ -1310,18 +1390,15 @@ class MAPPO:
             # Keep the (T, E, A, .) layout: with a single minibatch every
             # reduction is a full mean, so flattening is unnecessary and the
             # env axis (1) stays shardable over the mesh's data axis.
-            # Under the fused-loss kernels the critic input is derived
-            # in-place as a reshape of the same obs bytes (cent slot None) —
-            # materializing it separately would double the dominant HBM
-            # array (the 32k-env OOM).
+            # this branch is never fused (_update_fused_full owns the
+            # fused nmb=1 routing above), so the critic's team-concat rows
+            # are materialized here
             batch = (
                 net_in(traj.obs[:-1]),
                 traj.actions,
                 traj.log_probs,
                 jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1)),
-                None
-                if self._fused_loss
-                else net_in(traj.obs[:-1].reshape(T, E, A * self.obs_dim)),
+                net_in(traj.obs[:-1].reshape(T, E, A * self.obs_dim)),
                 traj.values[:-1],
                 returns,
                 traj.masks[:-1],
@@ -1443,12 +1520,16 @@ class MAPPO:
 
     def _fused_core(
         self, actor_params, critic_params, a_opt, c_opt,
-        obs_p, aux_a, cent_p, aux_c, norm, n_a, n_c,
+        obs_p, aux_a, cent_p, aux_c, norm, n_a, n_c, psum_axis=None,
     ):
         """Shared body of the fused-loss update: run both kernels on
         pre-packed inputs, assemble/scale the gradient trees, apply the
         optimizers, compute metrics. ``norm`` = [[shift, scale]] applies the
-        value normalizer to the RAW returns in-kernel."""
+        value normalizer to the RAW returns in-kernel. With ``psum_axis``
+        (the shard_map'd mesh path) the kernels see each shard's LOCAL rows
+        and the SUM-reduced gradient/metric accumulators are psum'd before
+        the global-row-count divide — identical math to the single-device
+        pass up to the reduction reordering."""
         from ..ops import fused_ppo as FP
 
         cfg = self.cfg
@@ -1469,6 +1550,10 @@ class MAPPO:
             pa["act_out"]["kernel"], pa["act_out"]["bias"], pa["log_std"],
             act_dim=int(pa["log_std"].shape[-1]), **common,
         )
+        if psum_axis is not None:
+            tg_a, dwh, dbh, dls, met_a = jax.lax.psum(
+                (tuple(tg_a), dwh, dbh, dls, met_a), psum_axis
+            )
         # total-loss actor grads: policy term (mean over rows) + the entropy
         # bonus, which for the state-independent gaussian touches only
         # log_std: d(-coef * mean(ent))/dlog_std_d = -coef
@@ -1489,6 +1574,10 @@ class MAPPO:
             use_clipped=cfg.use_clipped_value_loss,
             **common,
         )
+        if psum_axis is not None:
+            tg_c, dwv, dbv, met_c = jax.lax.psum(
+                (tuple(tg_c), dwv, dbv, met_c), psum_axis
+            )
         cs = cfg.value_loss_coef / n_c
         c_grads = {
             "params": {
@@ -1557,10 +1646,9 @@ class MAPPO:
 
         rows = lambda x: x.reshape(-1, x.shape[-1])
         obs_r, act_r, logp_r, adv_r = map(rows, (obs_b, act_b, logp_b, adv_b))
-        if cent_b is None:
-            # nmb=1 path: the critic's team-concat input is the same bytes
-            # as the actor obs — reshape, don't copy (obs_b is (T, E, A, D))
-            cent_b = obs_b.reshape(*obs_b.shape[:2], -1)
+        # the nmb=1 fused path never reaches here (_update_fused_full owns
+        # it, update()'s routing), so cent rows are always materialized
+        assert cent_b is not None
         cent_r, vpred_r, ret_r = map(rows, (cent_b, vpred_b, ret_target))
         br = cfg.fused_block_rows
         actor_params, critic_params, a_opt, c_opt, metrics = self._fused_core(
@@ -1583,15 +1671,180 @@ class MAPPO:
             count + 1,
         ), metrics
 
+    def _norm_seq(self, ts: TrainState, returns):
+        """Per-epoch value-normalizer scalars for the fused nmb=1 epochs,
+        precomputed as one tiny scan: each row is
+        ``[kscale, bshift, shift, scale]`` where (kscale, bshift) are the
+        PopArt head-rescale affine coefficients (identity under ValueNorm/
+        none) and (shift, scale) normalize the RAW returns in-kernel.
+        Legal because the nmb=1 epoch loop feeds the SAME returns to the
+        normalizer every epoch (``mappo.py:106-107`` with one minibatch), so
+        the stats trajectory is independent of the epoch bodies — which is
+        what lets the sharded update keep the normalizer math bit-identical
+        to the single-device path. Returns (seq, final_vnorm, final_popart)."""
+        cfg = self.cfg
+        n = cfg.ppo_epoch
+        if cfg.use_valuenorm:
+
+            def body(vn, _):
+                vn = VN.update(vn, returns)
+                mean, var = VN._stats(vn)
+                row = jnp.concatenate(
+                    [
+                        jnp.ones((1,), jnp.float32),
+                        jnp.zeros((1,), jnp.float32),
+                        mean.astype(jnp.float32),
+                        jnp.sqrt(var).astype(jnp.float32),
+                    ]
+                )
+                return vn, row
+
+            vnorm, seq = jax.lax.scan(body, ts.vnorm, None, length=n)
+            return seq, vnorm, ts.popart
+        if cfg.use_popart:
+            # PA.update on a (1, 0) dummy head yields exactly the affine
+            # rescale coefficients: kscale = old_std/new_std,
+            # bshift = (old_mean - new_mean)/new_std
+            one = jnp.ones((1,), jnp.float32)
+            zero = jnp.zeros((1,), jnp.float32)
+
+            def body(pa, _):
+                pa, kscale, bshift = PA.update(pa, one, zero, returns)
+                mean, var = PA._debiased(pa)
+                row = jnp.concatenate(
+                    [kscale, bshift, mean, jnp.sqrt(var)]
+                ).astype(jnp.float32)
+                return pa, row
+
+            popart, seq = jax.lax.scan(body, ts.popart, None, length=n)
+            return seq, ts.vnorm, popart
+        seq = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32), (n, 1))
+        return seq, ts.vnorm, ts.popart
+
+    def _update_fused_full_sharded(
+        self, ts: TrainState, traj: Trajectory, adv_n, returns
+    ):
+        """The nmb=1 fused-loss epochs under a multi-device mesh:
+        ``jax.shard_map`` over the data (env) axis. Each shard packs its
+        LOCAL env rows once and runs the fused Pallas kernels on them; the
+        SUM-reduced parameter-gradient/metric accumulators are psum'd across
+        shards (``_fused_core(psum_axis=...)``) and the optimizer step is
+        applied replicated — plain data parallelism over ICI, carrying the
+        kernels' measured single-chip rate to every shard instead of
+        falling back to the XLA path (round-3 VERDICT item 1). The value
+        normalizer's per-epoch scalars are precomputed outside the sharded
+        region (``_norm_seq``), so the epoch body's only collective is the
+        gradient psum."""
+        from ..ops import fused_ppo as FP
+        from ..ops.fused_mlp import _pad_rows
+
+        cfg, mesh = self.cfg, self.mesh
+        axis = mesh.axis_names[0]
+        n_shards = mesh.devices.size
+        T, E, A, _ = traj.actions.shape
+        if E % n_shards:
+            raise ValueError(
+                f"fused_loss under a mesh needs the env count ({E}) "
+                f"divisible by the mesh size ({n_shards})"
+            )
+        R, Rv = T * E * A, T * E  # GLOBAL row counts (loss means)
+        br = cfg.fused_block_rows
+        net_in = (
+            (lambda x: x.astype(self._net_dtype))
+            if self._net_dtype is not None
+            else (lambda x: x)
+        )
+        seq, vnorm, popart = self._norm_seq(ts, returns)
+        obs_in = net_in(traj.obs[:-1])  # (T, E, A, D)
+        adv_b = jnp.broadcast_to(adv_n[:, :, None, :], (T, E, A, 1))
+        env_spec = P(None, axis)
+
+        def run(actor_params, critic_params, a_opt, c_opt,
+                obs, act, logp, adv, vpred, ret, seq):
+            El = obs.shape[1]
+            Rl, Rvl = T * El * A, T * El
+            obs_p = _pad_rows(obs.reshape(Rl, -1), br)
+            cent_p = _pad_rows(obs.reshape(Rvl, A * self.obs_dim), br)
+            aux_a = FP.pack_actor_aux(
+                act.reshape(Rl, -1), logp.reshape(Rl, -1), adv.reshape(Rl, 1), br
+            )
+            aux_c = FP.pack_critic_aux(
+                vpred.reshape(Rvl, 1), ret.reshape(Rvl, 1), br
+            )
+
+            def epoch(carry, seq_e):
+                ap, cp, ao, co = carry
+                if cfg.use_popart:
+                    head = cp["params"]["v_out"]
+                    cp = {
+                        **cp,
+                        "params": {
+                            **cp["params"],
+                            "v_out": {
+                                **head,
+                                "kernel": head["kernel"] * seq_e[0],
+                                "bias": head["bias"] * seq_e[0] + seq_e[1],
+                            },
+                        },
+                    }
+                norm = seq_e[2:4].reshape(1, 2)
+                ap, cp, ao, co, metrics = self._fused_core(
+                    ap, cp, ao, co, obs_p, aux_a, cent_p, aux_c, norm, R, Rv,
+                    psum_axis=axis,
+                )
+                return (ap, cp, ao, co), metrics
+
+            carry, metrics = jax.lax.scan(
+                epoch, (actor_params, critic_params, a_opt, c_opt), seq
+            )
+            return carry, metrics
+
+        (ap, cp, ao, co), metrics = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(),
+                env_spec, env_spec, env_spec, env_spec, env_spec, env_spec,
+                P(),
+            ),
+            out_specs=(P(), P()),
+            # the gradient psum makes params/opt/metrics genuinely
+            # replicated; the vma analysis can't see through the Pallas
+            # custom calls, so it is disabled here
+            check_vma=False,
+        )(
+            ts.actor_params, ts.critic_params, ts.actor_opt, ts.critic_opt,
+            obs_in, traj.actions, traj.log_probs, adv_b,
+            traj.values[:-1], returns, seq,
+        )
+        ts = ts.replace(
+            actor_params=ap,
+            critic_params=cp,
+            actor_opt=ao,
+            critic_opt=co,
+            vnorm=vnorm,
+            popart=popart,
+            update_count=ts.update_count + cfg.ppo_epoch,
+            iteration=ts.iteration + 1,
+        )
+        return ts, metrics.mean(axis=0)
+
     def _update_fused_full(self, ts: TrainState, traj: Trajectory, adv_n, returns):
         """num_mini_batch=1 fused-loss epochs with every loop-invariant
         hoisted out of the epoch scan: the obs rows / packed aux arrays are
         built ONCE (the round-3 device trace showed their per-epoch
         repacking cost ~340 ms of relayout copies per iteration), and the
         value normalizer is applied in-kernel from per-epoch (shift, scale)
-        scalars instead of re-materializing normalized returns."""
+        scalars instead of re-materializing normalized returns. Multi-device
+        meshes route to the shard_map'd variant."""
         from ..ops import fused_ppo as FP
         from ..ops.fused_mlp import _pad_rows
+
+        # ANY mesh takes the shard_map'd program (a 1-device mesh runs it
+        # with a trivial psum) so that the mesh path is the one program
+        # measured at every scale
+        if self.mesh is not None:
+            return self._update_fused_full_sharded(ts, traj, adv_n, returns)
 
         cfg = self.cfg
         T, E, A, _ = traj.actions.shape

@@ -40,6 +40,7 @@ class _Trunk(nn.Module):
     fused: bool = False  # Pallas fused trunk (ops/fused_mlp)
     fused_interpret: bool = False
     fused_block_rows: int = 512
+    fused_mesh: Optional[object] = None  # shard_map the kernel over rows
 
     def setup(self):
         if self.use_cnn:
@@ -61,6 +62,7 @@ class _Trunk(nn.Module):
                 fused=self.fused,
                 fused_interpret=self.fused_interpret,
                 fused_block_rows=self.fused_block_rows,
+                fused_mesh=self.fused_mesh,
                 name="base",
             )
         if self.use_rnn:

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import PartitionSpec as P
 
 RELU_GAIN = 2.0 ** 0.5  # nn.init.calculate_gain('relu')
 TANH_GAIN = 5.0 / 3.0  # nn.init.calculate_gain('tanh')
@@ -72,6 +74,10 @@ class MLPBase(nn.Module):
     fused: bool = False
     fused_block_rows: int = 256
     fused_interpret: bool = False  # CPU testing of the fused path
+    # Multi-device mesh: the kernel is shard_map'd over the row (env) axis
+    # so GSPMD keeps the env sharding instead of gathering operands around
+    # the opaque custom call. None = single-device (no wrap).
+    fused_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -95,9 +101,7 @@ class MLPBase(nn.Module):
                 s, be = _LNParams(self.hidden_size, name=f"norm{i}")()
                 flat += [k, b, s, be]
                 d_in = self.hidden_size
-            return fused_mlp(
-                x,
-                flat,
+            kernel_kw = dict(
                 n_layers=1 + self.layer_n,
                 use_feature_norm=self.use_feature_normalization,
                 use_relu=self.use_relu,
@@ -105,6 +109,32 @@ class MLPBase(nn.Module):
                 block_rows=self.fused_block_rows,
                 interpret=self.fused_interpret,
             )
+            mesh = self.fused_mesh
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            if (
+                mesh is not None
+                and mesh.devices.size > 1
+                and rows % mesh.devices.size == 0
+                and rows > 0
+            ):
+                # each shard runs the kernel on its local row block; params
+                # ride in replicated (P()) — no collectives at all (pure
+                # forward; the custom-VJP backward psums param cotangents
+                # through shard_map's transpose automatically)
+                lead = x.shape[:-1]
+                x2 = x.reshape(rows, x.shape[-1])
+                axis = mesh.axis_names[0]
+                out2 = jax.shard_map(
+                    lambda r, *ps: fused_mlp(r, list(ps), **kernel_kw),
+                    mesh=mesh,
+                    in_specs=(P(axis),) + (P(),) * len(flat),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )(x2, *flat)
+                return out2.reshape(*lead, out2.shape[-1])
+            return fused_mlp(x, flat, **kernel_kw)
         if self.use_feature_normalization:
             x = nn.LayerNorm(dtype=self.dtype, name="feature_norm")(x)
         for i in range(1 + self.layer_n):

@@ -42,6 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-6  # flax.linen.LayerNorm default
+# Mosaic's scoped-VMEM default is 16MB; the backward pass's stack (input
+# tile + recompute cache + grad accumulators) can exceed it at wide
+# inputs / large tiles, which surfaces as a compile-time vmem OOM.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _ln_stats(x):
@@ -242,6 +246,7 @@ def _make_op(n_layers, use_fn, use_relu, bf16, block_rows, interpret):
         out = pl.pallas_call(
             partial(_fwd_kernel, **kw),
             grid=grid,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
             in_specs=[row_spec(x.shape[1])] + [const_spec()] * n_params,
             out_specs=row_spec(hidden),
             out_shape=jax.ShapeDtypeStruct((xp.shape[0], hidden), out_dtype),
@@ -275,6 +280,7 @@ def _make_op(n_layers, use_fn, use_relu, bf16, block_rows, interpret):
         outs = pl.pallas_call(
             partial(_bwd_kernel, **kw),
             grid=grid,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
             in_specs=[row_spec(x.shape[1]), row_spec(gp.shape[1])]
             + [const_spec()] * n_params,
             out_specs=(row_spec(x.shape[1]),) + acc_specs,

@@ -17,6 +17,15 @@ import numpy as np
 REF = "/root/reference/uav_dcc_control"
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
+# (old, new) source replacements applied by the imp shim when it loads the
+# scenario file — the ctor-patch channel for reference quirk #1
+# (scenarios/coverage.py:40-41 hardcodes num_agents=4/num_landmarks=20,
+# ignoring the Scenario ctor values; see SURVEY.md 2.4). The patched source
+# is still the REFERENCE's code, executed in place — this harness only
+# redirects the two hardcoded counts at the ctor values so N!=4 golden
+# traces exercise the reference's own physics.
+SOURCE_PATCHES = []
+
 
 def _install_shims():
     """Shim the legacy modules the reference imports (gym 0.10, imp) so it can
@@ -28,9 +37,14 @@ def _install_shims():
         imp_mod = types.ModuleType("imp")
 
         def load_source(name, pathname):
-            spec = importlib.util.spec_from_file_location(name or "scenario", pathname)
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
+            with open(pathname) as f:
+                src = f.read()
+            for old, new in SOURCE_PATCHES:
+                assert old in src, f"source patch target missing: {old!r}"
+                src = src.replace(old, new)
+            mod = types.ModuleType(name or "scenario")
+            mod.__file__ = pathname  # scenario resolves pos_pois.npy via it
+            exec(compile(src, pathname, "exec"), mod.__dict__)
             return mod
 
         imp_mod.load_source = load_source
@@ -97,6 +111,15 @@ def record(name, num_agents=4, num_pois=20, comm_force_scale=0.0, comm_r_scale=0
     finally:
         sys.path.pop(0)
 
+    SOURCE_PATCHES.clear()
+    if (num_agents, num_pois) != (4, 20):
+        # route the make_world hardcodes to the ctor values (quirk #1)
+        SOURCE_PATCHES.extend(
+            [
+                ("num_agents = 4\n", "num_agents = self.num_agents\n"),
+                ("num_landmarks = 20\n", "num_landmarks = self.num_pois\n"),
+            ]
+        )
     env = DCEnv(
         scenario="coverage",
         num_agents=num_agents,
@@ -116,6 +139,16 @@ def record(name, num_agents=4, num_pois=20, comm_force_scale=0.0, comm_r_scale=0
     world = env.env.world
     world.contact_force = 1e2 * comm_force_scale
     world.comm_r_scale = comm_r_scale
+    if num_agents != 4:
+        # Reference quirk #2 (SURVEY.md 2.4): CoverageWorld preallocates its
+        # distance/adjacency matrices 4x4 (CoverageWorld.py:11-21) — N!=4
+        # would IndexError in update_connect. Re-allocate at the real count
+        # (done before any step, so no state is lost).
+        n = len(world.agents)
+        assert n == num_agents, "make_world patch did not take"
+        world.dist_mat = np.zeros([n, n])
+        world.adj_mat = np.zeros([n, n])
+        world.adj_mat_ = np.zeros([n, n])
     rng = np.random.RandomState(seed)
     obs0 = np.array(env.reset())
     actions, obs_l, rew_l, done_l, cr_l = [], [], [], [], []
@@ -160,6 +193,12 @@ def main():
     # small-action trace keeping agents clustered (exercises case-2 pull force)
     record("connect_smallact_4x20", comm_force_scale=5.0, comm_r_scale=0.9,
            steps=200, seed=2, action_scale=0.2)
+    # N!=4 traces through the ctor-patched reference (BASELINE configs #2/#3
+    # demand 5/10/20-agent variants; the reference's own physics is the
+    # ground truth once the make_world hardcode is redirected)
+    record("default_5x10", num_agents=5, num_pois=10, steps=300, seed=3)
+    record("connect_5x10", num_agents=5, num_pois=10, comm_force_scale=5.0,
+           comm_r_scale=0.9, steps=200, seed=4, action_scale=0.2)
 
 
 if __name__ == "__main__":

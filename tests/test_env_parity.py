@@ -50,6 +50,12 @@ def _load(name):
         ("default_4x20", 1e-10, 1e-8),
         ("connect_4x20", 1e-3, 1e-2),
         ("connect_smallact_4x20", 1e-10, 1e-8),
+        # N!=4 through the ctor-patched reference (make_world's 4/20
+        # hardcode redirected; scripts/record_golden.py SOURCE_PATCHES) —
+        # validates the N-generic physics against the reference itself
+        # instead of only against our own implementation
+        ("default_5x10", 1e-10, 1e-8),
+        ("connect_5x10", 1e-10, 1e-8),
     ],
 )
 def test_golden_trace(name, tol_obs, tol_rew):
