@@ -53,6 +53,16 @@ def main():
         raise SystemExit(f"unknown DCC_CURVE_CONFIG {variant!r}")
     if os.environ.get("DCC_CURVE_ITERS"):  # smoke-test hook
         overrides["n_iters"] = int(os.environ["DCC_CURVE_ITERS"])
+    # A/B hooks for the fused-kernel robustness study (round-3 VERDICT weak
+    # #1): DCC_CURVE_FUSED_LOSS=off runs the stock-autodiff update on the
+    # same shape; DCC_CURVE_TAG names the output series (e.g. "stock") so
+    # the arms don't overwrite each other.
+    if os.environ.get("DCC_CURVE_FUSED_LOSS"):
+        overrides["fused_loss"] = os.environ["DCC_CURVE_FUSED_LOSS"]
+        overrides["fused_trunk"] = os.environ.get(
+            "DCC_CURVE_FUSED_TRUNK", os.environ["DCC_CURVE_FUSED_LOSS"]
+        )
+    tag = os.environ.get("DCC_CURVE_TAG", "")
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])
 
@@ -96,13 +106,13 @@ def main():
                 flush=True,
             )
         if iter_ % 10 == 0 or iter_ == n_iters:
-            _dump(out_dir, seed, cfg, series, time.time() - t_start, variant)
+            _dump(out_dir, seed, cfg, series, time.time() - t_start, variant, tag)
 
-    _dump(out_dir, seed, cfg, series, time.time() - t_start, variant)
+    _dump(out_dir, seed, cfg, series, time.time() - t_start, variant, tag)
     print(f"[dcc sd{seed}] done in {time.time() - t_start:.0f}s", flush=True)
 
 
-def _dump(out_dir, seed, cfg, series, elapsed, variant="default"):
+def _dump(out_dir, seed, cfg, series, elapsed, variant="default", tag=""):
     payload = {
         "system": f"dcc_tpu (jax, vmap x{cfg['n_rollout_threads']}, "
         f"{jax.default_backend()})",
@@ -114,6 +124,8 @@ def _dump(out_dir, seed, cfg, series, elapsed, variant="default"):
         "series": series,
     }
     stem = "dcc_tpu" if variant == "default" else f"dcc_tpu_{variant}"
+    if tag:
+        stem = f"{stem}_{tag}"
     path = os.path.join(out_dir, f"{stem}_seed{seed}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

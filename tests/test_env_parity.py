@@ -7,8 +7,14 @@ committed under ``tests/golden/``. The replay runs as one ``lax.scan`` in
 float64, so tolerances are fp-reordering noise only:
 
 * force off (default config): exact to ~1e-12
-* connectivity force on: the softplus pull force has a 1e-3 contact margin
-  (Lipschitz ~1e3 x contact_force), so fp reordering is amplified -> 1e-3.
+* connectivity force on (``connect_4x20``): XLA's FMA contraction rounds
+  the speed-clamp norm (vx*vx + vy*vy) one ULP differently than numpy's
+  separate mul+add — measured: positions exact through step 0, a single
+  1.4e-17 velocity ULP appears at the first clamped step, then the softplus
+  pull force's 1/contact_margin = 1e3 Lipschitz amplifies it ~x10 per
+  contact event to a measured max of 2.1e-8 (obs) / 1.1e-6 (reward) over
+  300 steps. The 1e-6/1e-5 tolerances below bound that ULP-amplification
+  floor with headroom; anything looser would hide real physics errors.
 """
 
 import functools
@@ -48,7 +54,7 @@ def _load(name):
     "name,tol_obs,tol_rew",
     [
         ("default_4x20", 1e-10, 1e-8),
-        ("connect_4x20", 1e-3, 1e-2),
+        ("connect_4x20", 1e-6, 1e-5),
         ("connect_smallact_4x20", 1e-10, 1e-8),
         # N!=4 through the ctor-patched reference (make_world's 4/20
         # hardcode redirected; scripts/record_golden.py SOURCE_PATCHES) —
