@@ -59,6 +59,23 @@ class MADDPGConfig(NamedTuple):
     steps_per_iter: int = 150
     updates_per_iter: int = 50
     warmup_steps: int = 1000  # env-steps of random actions before updates
+    # Learning stabilizers (the reference's MADDPG is unwired dead code, so
+    # these have no parity constraint; they are what makes the shipped
+    # algorithm actually train on this env):
+    # - reward_scale: multiplies rewards in the TD target. The coverage
+    #   env's team reward is ~-10^2..-10^3 per step (x N summing), putting
+    #   raw Q targets at ~-10^4 and ill-conditioning the MSE critic; 0.01
+    #   brings targets to O(10). Affects only critic conditioning — the
+    #   greedy policy ordering is scale-invariant.
+    # - action_reg: coefficient on mean(pre_tanh^2) in the actor loss — the
+    #   MADDPG paper implementation's p_reg term. Without it the
+    #   deterministic-policy gradient drives the tanh head to 100%
+    #   saturation (measured here within ~3k updates) and learning stops.
+    # - clip_grad: per-element gradient value clip (the reference's
+    #   clip_grad_value ctor hook, algos/maddpg.py:27,108); 0 = off.
+    reward_scale: float = 0.01
+    action_reg: float = 1e-3
+    clip_grad: float = 0.0
 
 
 class ReplayBuffer(NamedTuple):
@@ -138,8 +155,15 @@ class MADDPG:
             output_size=a, hidden_sizes=cfg.hidden_sizes, tanh_output=True
         )
         self.critic = RlkitMlp(output_size=1, hidden_sizes=cfg.hidden_sizes)
-        self.actor_tx = optax.adam(cfg.actor_lr)
-        self.critic_tx = optax.adam(cfg.critic_lr)
+
+        def tx(lr):
+            adam = optax.adam(lr)
+            if cfg.clip_grad > 0.0:
+                return optax.chain(optax.clip(cfg.clip_grad), adam)
+            return adam
+
+        self.actor_tx = tx(cfg.actor_lr)
+        self.critic_tx = tx(cfg.critic_lr)
 
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array) -> MADDPGState:
@@ -287,9 +311,10 @@ class MADDPG:
 
         def critic_loss_fn(cp_i, tcp_i):
             # shared team reward/done: every agent sees the same scalar
-            # (environment.py:105-108 broadcast)
+            # (environment.py:105-108 broadcast); reward_scale conditions
+            # the TD targets (see MADDPGConfig)
             q_next = self.critic.apply(tcp_i, q_in_next)
-            target = rew_b + (1.0 - done_b) * cfg.gamma * q_next
+            target = cfg.reward_scale * rew_b + (1.0 - done_b) * cfg.gamma * q_next
             target = jax.lax.stop_gradient(target)
             q = self.critic.apply(cp_i, q_in)
             return jnp.mean((q - target) ** 2)
@@ -303,15 +328,21 @@ class MADDPG:
         )
         critic_params = jax.vmap(optax.apply_updates)(st.critic_params, c_updates)
 
-        # actor update: replace own column of the joint action
+        # actor update: replace own column of the joint action; the
+        # pre-tanh regularizer (MADDPG paper impl's p_reg) keeps the
+        # deterministic-policy gradient from saturating the tanh head
         def a_loss_fn(ap_i, cp_i, e_i):
             obs_i = jnp.sum(obs_b * e_i, axis=1)  # (B, d) = obs of agent i
-            own_i = self.actor.apply(ap_i, obs_i)[:, None, :]  # (B, 1, a)
+            own_i, pre_i = self.actor.apply(ap_i, obs_i, return_pre=True)
+            own_i = own_i[:, None, :]  # (B, 1, a)
             acts = act_b * (1.0 - e_i) + own_i * e_i
             q_in_pi = jnp.concatenate(
                 [obs_b.reshape(B, n * d), acts.reshape(B, n * a)], axis=-1
             )
-            return -jnp.mean(self.critic.apply(cp_i, q_in_pi))
+            loss = -jnp.mean(self.critic.apply(cp_i, q_in_pi))
+            if cfg.action_reg > 0.0:
+                loss = loss + cfg.action_reg * jnp.mean(pre_i**2)
+            return loss
 
         a_loss, a_grads = jax.vmap(jax.value_and_grad(a_loss_fn))(
             st.actor_params, critic_params, agent_eye

@@ -150,6 +150,9 @@ def to_maddpg_config(cfg: Dict[str, Any]):
         steps_per_iter=int(cfg.get("max_ep_len", 150)),
         updates_per_iter=int(cfg.get("updates_per_iter", 50)),
         warmup_steps=int(cfg.get("warmup_steps", 1000)),
+        reward_scale=float(cfg.get("reward_scale", 0.01)),
+        action_reg=float(cfg.get("action_reg", 1e-3)),
+        clip_grad=float(cfg.get("clip_grad_value") or 0.0),
     )
 
 

@@ -41,7 +41,11 @@ class RlkitMlp(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_pre: bool = False):
+        """``return_pre=True`` additionally returns the pre-squash output
+        (rlkit's ``return_preactivations``; the MADDPG paper's reference
+        implementation regularizes exactly this to prevent tanh
+        saturation)."""
         for i, h in enumerate(self.hidden_sizes):
             x = nn.Dense(
                 h,
@@ -58,6 +62,9 @@ class RlkitMlp(nn.Module):
             dtype=self.dtype,
             name="last_fc",
         )(x)
+        pre = x
         if self.tanh_output:
             x = jnp.tanh(x)
+        if return_pre:
+            return x, pre
         return x

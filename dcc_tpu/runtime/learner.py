@@ -216,7 +216,37 @@ class Learner:
         )
         size = 700 if n_render == 1 else max(128, 700 // int(np.ceil(np.sqrt(n_render))))
         render_gif(self.env_cfg, states, path, size=size)
+        if self.cfg.get("render_live", False):
+            # workstation analog of the reference's pyglet window
+            # (environment.py:209-315): replay the same episode into a live
+            # matplotlib figure; headless hosts degrade to a frame sink
+            self._live_render(states, size=size)
         return states
+
+    def _live_render(self, states, size: int = 512):
+        from ..render.gif import draw_frame
+        from ..render.live import LiveViewer
+
+        if not hasattr(self, "_live_viewer"):
+            self._live_viewer = LiveViewer(title="dcc_tpu training")
+        multi = np.asarray(states["pos"]).ndim == 4  # env axis present
+        pick = (
+            (lambda k, t: np.asarray(states[k][t, 0]))
+            if multi
+            else (lambda k, t: np.asarray(states[k][t]))
+        )
+        for t in range(int(np.asarray(states["pos"]).shape[0])):
+            self._live_viewer.show(
+                draw_frame(
+                    self.env_cfg,
+                    pick("pos", t),
+                    pick("poi_pos", t),
+                    pick("energy", t),
+                    pick("poi_done", t),
+                    size=size,
+                )
+            )
+        return self._live_viewer
 
     def log(self, it: int, logs: Dict[str, Dict[str, float]]):
         if self._wandb is not None:

@@ -216,3 +216,41 @@ def test_train_cli_algo_yaml_selects_maddpg(tmp_path):
     assert isinstance(learner.algo, MADDPG)
     learner.train()
     assert int(learner.ts.iteration) == 1
+
+
+def test_live_viewer_headless_degrade(tmp_path):
+    """The live interactive viewer (render/live.py — the workstation analog
+    of the reference's pyglet window, environment.py:209-315) degrades to a
+    frame sink on headless hosts: show() accepts frames and records the
+    latest, close() is safe, and the Learner's render_live hook replays an
+    episode through it without a display."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from dcc_tpu.render.live import LiveViewer
+
+    v = LiveViewer(title="test")
+    assert not v.interactive  # Agg backend -> no window
+    f = np.zeros((32, 32, 3), np.uint8)
+    v.show(f)
+    assert v.last_frame is not None and v.last_frame.shape == (32, 32, 3)
+    v.close()
+
+    # Learner hook: render_live replays the rendered episode into the viewer
+    overrides = dict(
+        n_iters=2,
+        n_rollout_threads=2,
+        n_eval_rollout_threads=2,
+        max_ep_len=4,
+        ppo_epoch=1,
+        eval_interval=10,
+        render_interval=2,
+        save_interval=10,
+        main_save_path=str(tmp_path),
+        save_gifs=True,
+        render_live=True,
+    )
+    learner = Learner(overrides)
+    learner.train()
+    assert hasattr(learner, "_live_viewer")
+    assert learner._live_viewer.last_frame is not None  # frames flowed
