@@ -10,9 +10,10 @@ program) on the default 4-UAV / 20-PoI config, in two configurations:
   (dcc_tpu/ops/fused_ppo, auto-selected; they bypass the configured
   update_chunks — nothing row-sized is materialized). The fastest measured
   single-chip configuration (benchmarks/PERF_NOTES.md).
-* **float32 parity config** — 4096 envs, full float32 with the fused
-  kernels at HIGHEST matmul precision — the reference-semantics
-  configuration.
+* **float32 parity config** — 4096 envs, full float32 with stock autodiff
+  (fused_loss "auto" resolves OFF for f32 since the round-4 robustness
+  study; the faster fused-f32 number is available via
+  BENCH_FUSED_LOSS=on) — the reference-semantics configuration.
 
 Also measures the two phase-isolated rates of BASELINE config #4 at the
 headline shape:

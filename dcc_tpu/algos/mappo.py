@@ -140,10 +140,11 @@ class MAPPOConfig(NamedTuple):
     fused_trunk: str = "auto"
     # Row-tile size of the fused kernels' grids (rows staged into VMEM per
     # program; shared by the trunk kernel and the fused-loss kernels).
-    # 2048 is the measured-fastest tile for the headline 16k-env
-    # configuration (benchmarks/PERF_NOTES.md: 1024 -> 1.28M, 2048 -> 1.40M,
-    # 4096 -> 1.23M env-steps/s).
-    fused_block_rows: int = 2048
+    # 4096 is the round-4 measured-fastest tile for the headline 16k-env
+    # configuration (benchmarks/PERF_NOTES.md sweep: 1024 -> 1.39M,
+    # 2048 -> 1.53M, 4096 -> 1.59M, 8192 -> 1.44M env-steps/s; the
+    # pre-hoisting round-3 sweep peaked at 2048).
+    fused_block_rows: int = 4096
     # In bfloat16 mode, store the trajectory's observation rows in bf16 —
     # halves the dominant rollout buffer ((T+1, E, A, obs_dim)), the HBM
     # lever for 32k+ env batches. An approximation, not bit-free: feature-
@@ -158,9 +159,13 @@ class MAPPOConfig(NamedTuple):
     # chains all evaluated per VMEM row tile, with no (rows, hidden)
     # intermediates ever reaching HBM (the bandwidth bound the round-2
     # device traces identified). "auto" selects it under the same
-    # conditions as the fused trunk (single TPU chip, shared feed-forward
-    # policy, gaussian head, bf16); "on"/"interpret" force it (f32 runs
-    # HIGHEST-precision matmuls); "off" keeps autodiff of the flax graph.
+    # conditions as the fused trunk (TPU, shared feed-forward gaussian
+    # policy, bf16; under a multi-device mesh additionally nmb=1 with the
+    # env count dividing the mesh — the shard_map'd path);
+    # "on"/"interpret" force it (f32 runs HIGHEST-precision matmuls but
+    # showed a heavier low-coverage seed tail in the round-4 robustness
+    # study — see the auto-dispatch comment in __init__); "off" keeps
+    # autodiff of the flax graph.
     # Gradient-parity with autodiff is pinned by tests/test_fused_ppo.py.
     fused_loss: str = "auto"
 
@@ -460,17 +465,23 @@ class MAPPO:
                 )
             self._fused_loss = True
         elif cfg.fused_loss == "auto":
-            # unlike the trunk kernel, the fused loss wins in BOTH compute
-            # modes (bf16: 866k -> 1.40M; f32: 292k -> 342k env-steps/s,
-            # benchmarks/PERF_NOTES.md) — and the f32 kernel runs
-            # HIGHEST-precision matmuls, numerically closer to the torch
-            # reference than XLA's default single-bf16-pass f32 dots.
+            # "auto" selects the kernels for the bf16 production config
+            # only. The f32 kernel is faster than stock autodiff too (292k
+            # -> 393k env-steps/s) and runs HIGHEST-precision matmuls, but
+            # the round-4 learning-robustness study
+            # (benchmarks/learning_curves/, 24 fused-f32 seeds vs 12 stock
+            # + 2x12 historical stock + 10 reference seeds) found a heavier
+            # low-coverage seed tail under the f32 kernels (4/24 below
+            # 0.65 vs 0 in every stock/reference arm), so the f32 parity
+            # configuration defaults to stock autodiff — reference-grade
+            # robustness — and f32 users opt into the kernels with "on".
             # Multi-device meshes take the shard_map'd num_mini_batch=1
             # path (nmb>1 would gather permuted rows across shards).
             self._fused_loss = (
                 fused_loss_ok
                 and (single_dev or (cfg.num_mini_batch == 1 and mesh_divides))
                 and self._tpu_backend
+                and net_dtype == jnp.bfloat16
             )
         elif cfg.fused_loss == "off":
             self._fused_loss = False

@@ -125,7 +125,7 @@ def to_algo_config(cfg: Dict[str, Any]) -> MAPPOConfig:
         gae_backend=str(cfg.get("gae_backend", "auto")),
         compute_dtype=str(cfg.get("compute_dtype", "float32")),
         fused_trunk=str(cfg.get("fused_trunk", "auto")),
-        fused_block_rows=int(cfg.get("fused_block_rows", 2048)),
+        fused_block_rows=int(cfg.get("fused_block_rows", 4096)),
         store_obs_bf16=bool(cfg.get("store_obs_bf16", True)),
         fused_loss=str(cfg.get("fused_loss", "auto")),
     )

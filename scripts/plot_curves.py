@@ -175,17 +175,21 @@ def plot_variant(curve_dir, variant):
 
     summary["mannwhitney_p"] = mwu(summary["reference"], summary["dcc_tpu"])
     if variant == "default":
-        # the fused-vs-stock A/B arm (DCC_CURVE_FUSED_LOSS=off runs), if
-        # its artifacts exist
-        stock = load_series(curve_dir, "dcc_tpu_stock")
-        if stock:
-            summary["dcc_tpu_stock"] = band_stats(stock, "coverage_rate")
-            summary["mannwhitney_p_stock_vs_fused"] = mwu(
-                summary["dcc_tpu_stock"], summary["dcc_tpu"]
-            )
-            summary["mannwhitney_p_stock_vs_reference"] = mwu(
-                summary["reference"], summary["dcc_tpu_stock"]
-            )
+        # the fused-kernel robustness study arms (round-4): the default
+        # dcc_tpu arm is the SHIPPED f32 config (stock autodiff since the
+        # study); "fusedf32" = fused_loss forced on at f32, "bf16" = the
+        # bf16 production config (fused kernels on). Each arm gets its
+        # band + MWU vs the reference and vs the default arm.
+        for arm in ("fusedf32", "bf16"):
+            series = load_series(curve_dir, f"dcc_tpu_{arm}")
+            if series:
+                summary[f"dcc_tpu_{arm}"] = band_stats(series, "coverage_rate")
+                summary[f"mannwhitney_p_{arm}_vs_reference"] = mwu(
+                    summary["reference"], summary[f"dcc_tpu_{arm}"]
+                )
+                summary[f"mannwhitney_p_{arm}_vs_default"] = mwu(
+                    summary["dcc_tpu"], summary[f"dcc_tpu_{arm}"]
+                )
     out = os.path.join(curve_dir, f"parity_summary{suffix}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)

@@ -62,6 +62,8 @@ def main():
         overrides["fused_trunk"] = os.environ.get(
             "DCC_CURVE_FUSED_TRUNK", os.environ["DCC_CURVE_FUSED_LOSS"]
         )
+    if os.environ.get("DCC_CURVE_DTYPE"):
+        overrides["compute_dtype"] = os.environ["DCC_CURVE_DTYPE"]
     tag = os.environ.get("DCC_CURVE_TAG", "")
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])
