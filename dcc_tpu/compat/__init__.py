@@ -15,8 +15,10 @@ Workflow:
 * :func:`load_golden` / :func:`replay` / :func:`compare` replay the same
   actions through the jitted JAX env and diff every step;
 * ``tests/test_env_parity.py`` asserts the diffs (exact to ~1e-10 with the
-  connectivity force off; 1e-3 with it on, where the softplus contact margin
-  amplifies fp reordering).
+  connectivity force off, for the stock 4x20 AND the ctor-patched 5x10
+  shapes; <=1e-6 with the force on — the measured floor is 2.1e-8, one
+  FMA-contraction ULP at the first speed clamp amplified by the softplus
+  contact margin's 1e3 Lipschitz, see the test module docstring).
 
 Reset parity needs no RNG bridging: the reference resets agents at the
 origin and draws PoIs from the frozen ``pos_pois.npy`` bank

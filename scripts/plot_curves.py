@@ -180,7 +180,7 @@ def plot_variant(curve_dir, variant):
         # study); "fusedf32" = fused_loss forced on at f32, "bf16" = the
         # bf16 production config (fused kernels on). Each arm gets its
         # band + MWU vs the reference and vs the default arm.
-        for arm in ("fusedf32", "bf16"):
+        for arm in ("fusedf32", "bf16", "stockhi"):
             series = load_series(curve_dir, f"dcc_tpu_{arm}")
             if series:
                 summary[f"dcc_tpu_{arm}"] = band_stats(series, "coverage_rate")

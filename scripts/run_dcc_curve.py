@@ -64,6 +64,14 @@ def main():
         )
     if os.environ.get("DCC_CURVE_DTYPE"):
         overrides["compute_dtype"] = os.environ["DCC_CURVE_DTYPE"]
+    if os.environ.get("DCC_CURVE_MATMUL_PRECISION"):
+        # study discriminator: stock autodiff with HIGHEST-precision f32
+        # matmuls isolates "matmul precision" from "fused-kernel numerics"
+        # as the cause of the fused-f32 arm's tail
+        jax.config.update(
+            "jax_default_matmul_precision",
+            os.environ["DCC_CURVE_MATMUL_PRECISION"],
+        )
     tag = os.environ.get("DCC_CURVE_TAG", "")
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])

@@ -9,6 +9,8 @@ command line:
     python train.py --num-agents 10 --num-pois 40 --n-rollout-threads 4096
     python train.py --comm-force-scale 5.0  # connectivity preservation on
     python train.py --mesh                  # shard envs over all devices
+    python train.py --render-live           # live matplotlib viewer at the
+                                            # render interval (workstation)
 """
 
 import argparse
