@@ -467,14 +467,13 @@ class MAPPO:
         elif cfg.fused_loss == "auto":
             # "auto" selects the kernels for the bf16 production config
             # only. The f32 kernel is faster than stock autodiff too (292k
-            # -> 393k env-steps/s) and runs HIGHEST-precision matmuls, but
-            # the round-4 learning-robustness study
-            # (benchmarks/learning_curves/, 24 fused-f32 seeds vs 12 stock
-            # + 2x12 historical stock + 10 reference seeds) found a heavier
-            # low-coverage seed tail under the f32 kernels (4/24 below
-            # 0.65 vs 0 in every stock/reference arm), so the f32 parity
-            # configuration defaults to stock autodiff — reference-grade
-            # robustness — and f32 users opt into the kernels with "on".
+            # -> 393k env-steps/s) and matches its post-update parameters
+            # to ~1e-6 relative per epoch, but the round-4 robustness
+            # study (benchmarks/PERF_NOTES.md) observed a heavier (though
+            # not statistically significant) low-coverage seed tail under
+            # the f32 kernels, so as a robustness-first POLICY the f32
+            # parity configuration defaults to stock autodiff and f32
+            # users opt into the kernels with "on".
             # Multi-device meshes take the shard_map'd num_mini_batch=1
             # path (nmb>1 would gather permuted rows across shards).
             self._fused_loss = (
