@@ -199,6 +199,7 @@ def main():
     record("default_5x10", num_agents=5, num_pois=10, steps=300, seed=3)
     record("connect_5x10", num_agents=5, num_pois=10, comm_force_scale=5.0,
            comm_r_scale=0.9, steps=200, seed=4, action_scale=0.2)
+    record("default_10x20", num_agents=10, num_pois=20, steps=200, seed=5)
 
 
 if __name__ == "__main__":

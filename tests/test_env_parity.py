@@ -62,6 +62,7 @@ def _load(name):
         # instead of only against our own implementation
         ("default_5x10", 1e-10, 1e-8),
         ("connect_5x10", 1e-10, 1e-8),
+        ("default_10x20", 1e-10, 1e-8),
     ],
 )
 def test_golden_trace(name, tol_obs, tol_rew):
