@@ -773,6 +773,14 @@ class MAPPO:
                 n_shards = self.mesh.devices.size
                 if rewards.shape[1] % n_shards == 0:
                     gae_fn = self._gae_pallas_sharded
+                elif cfg.gae_backend == "pallas":
+                    # forcing the kernel must not silently no-op (same
+                    # rule as fused_trunk/fused_loss "on")
+                    raise ValueError(
+                        f"gae_backend='pallas' under a mesh needs the env "
+                        f"count ({rewards.shape[1]}) divisible by the mesh "
+                        f"size ({n_shards}); use 'auto' to fall back"
+                    )
                 else:
                     gae_fn = compute_gae
             elif use_pallas:
@@ -1731,6 +1739,36 @@ class MAPPO:
         seq = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32), (n, 1))
         return seq, ts.vnorm, ts.popart
 
+    def _fused_epoch_body(
+        self, carry, seq_e, obs_p, aux_a, cent_p, aux_c, n_a, n_c,
+        psum_axis=None,
+    ):
+        """One fused nmb=1 epoch: apply the per-epoch normalizer scalars
+        from ``_norm_seq`` (PopArt head rescale + in-kernel norm) and run
+        both kernels via ``_fused_core``. The SINGLE shared body of the
+        single-device and shard_map'd epoch scans — keeping their
+        normalizer math in lockstep by construction."""
+        ap, cp, ao, co = carry
+        if self.cfg.use_popart:
+            head = cp["params"]["v_out"]
+            cp = {
+                **cp,
+                "params": {
+                    **cp["params"],
+                    "v_out": {
+                        **head,
+                        "kernel": head["kernel"] * seq_e[0],
+                        "bias": head["bias"] * seq_e[0] + seq_e[1],
+                    },
+                },
+            }
+        norm = seq_e[2:4].reshape(1, 2)
+        ap, cp, ao, co, metrics = self._fused_core(
+            ap, cp, ao, co, obs_p, aux_a, cent_p, aux_c, norm, n_a, n_c,
+            psum_axis=psum_axis,
+        )
+        return (ap, cp, ao, co), metrics
+
     def _update_fused_full_sharded(
         self, ts: TrainState, traj: Trajectory, adv_n, returns
     ):
@@ -1783,26 +1821,10 @@ class MAPPO:
             )
 
             def epoch(carry, seq_e):
-                ap, cp, ao, co = carry
-                if cfg.use_popart:
-                    head = cp["params"]["v_out"]
-                    cp = {
-                        **cp,
-                        "params": {
-                            **cp["params"],
-                            "v_out": {
-                                **head,
-                                "kernel": head["kernel"] * seq_e[0],
-                                "bias": head["bias"] * seq_e[0] + seq_e[1],
-                            },
-                        },
-                    }
-                norm = seq_e[2:4].reshape(1, 2)
-                ap, cp, ao, co, metrics = self._fused_core(
-                    ap, cp, ao, co, obs_p, aux_a, cent_p, aux_c, norm, R, Rv,
+                return self._fused_epoch_body(
+                    carry, seq_e, obs_p, aux_a, cent_p, aux_c, R, Rv,
                     psum_axis=axis,
                 )
-                return (ap, cp, ao, co), metrics
 
             carry, metrics = jax.lax.scan(
                 epoch, (actor_params, critic_params, a_opt, c_opt), seq
@@ -1878,68 +1900,27 @@ class MAPPO:
             traj.values[:-1].reshape(Rv, 1), returns.reshape(Rv, 1), br
         )
 
-        def epoch(carry, _):
-            actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
-            # normalizer stats update BEFORE normalize (mappo.py:106-107);
-            # the normalize itself runs in-kernel via (shift, scale)
-            if cfg.use_valuenorm:
-                vnorm = VN.update(vnorm, returns)
-                mean, var = VN._stats(vnorm)
-                norm = jnp.concatenate(
-                    [mean, jnp.sqrt(var)]
-                ).reshape(1, 2).astype(jnp.float32)
-            elif cfg.use_popart:
-                kernel = critic_params["params"]["v_out"]["kernel"]
-                bias = critic_params["params"]["v_out"]["bias"]
-                popart, kernel, bias = PA.update(popart, kernel, bias, returns)
-                new_head = {
-                    **critic_params["params"]["v_out"],
-                    "kernel": kernel,
-                    "bias": bias,
-                }
-                critic_params = {
-                    **critic_params,
-                    "params": {**critic_params["params"], "v_out": new_head},
-                }
-                mean, var = PA._debiased(popart)
-                norm = jnp.concatenate(
-                    [mean, jnp.sqrt(var)]
-                ).reshape(1, 2).astype(jnp.float32)
-            else:
-                norm = jnp.asarray([[0.0, 1.0]], jnp.float32)
-            actor_params, critic_params, a_opt, c_opt, metrics = self._fused_core(
-                actor_params, critic_params, a_opt, c_opt,
-                obs_p, aux_a, cent_p, aux_c, norm, R, Rv,
-            )
-            return (
-                actor_params,
-                critic_params,
-                a_opt,
-                c_opt,
-                vnorm,
-                popart,
-                count + 1,
-            ), metrics
+        # per-epoch normalizer scalars precomputed (stats update BEFORE
+        # normalize, mappo.py:106-107 — _norm_seq reproduces the in-loop
+        # trajectory exactly since nmb=1 feeds the same returns each epoch);
+        # the sharded variant consumes the identical seq + epoch body
+        seq, vnorm, popart = self._norm_seq(ts, returns)
 
-        carry = (
-            ts.actor_params,
-            ts.critic_params,
-            ts.actor_opt,
-            ts.critic_opt,
-            ts.vnorm,
-            ts.popart,
-            ts.update_count,
-        )
-        carry, metrics = jax.lax.scan(epoch, carry, None, length=cfg.ppo_epoch)
-        actor_params, critic_params, a_opt, c_opt, vnorm, popart, count = carry
+        def epoch(carry, seq_e):
+            return self._fused_epoch_body(
+                carry, seq_e, obs_p, aux_a, cent_p, aux_c, R, Rv
+            )
+
+        carry = (ts.actor_params, ts.critic_params, ts.actor_opt, ts.critic_opt)
+        (ap, cp, ao, co), metrics = jax.lax.scan(epoch, carry, seq)
         ts = ts.replace(
-            actor_params=actor_params,
-            critic_params=critic_params,
-            actor_opt=a_opt,
-            critic_opt=c_opt,
+            actor_params=ap,
+            critic_params=cp,
+            actor_opt=ao,
+            critic_opt=co,
             vnorm=vnorm,
             popart=popart,
-            update_count=count,
+            update_count=ts.update_count + cfg.ppo_epoch,
             iteration=ts.iteration + 1,
         )
         return ts, metrics.mean(axis=0)

@@ -153,7 +153,7 @@ def draw_frame(
 def render_gif(
     env_cfg: EnvConfig,
     states: dict,
-    path: str,
+    path: Optional[str],
     every: int = 1,
     size: int = 700,
     duration: float = 0.1,
@@ -198,10 +198,11 @@ def render_gif(
             )
             for t in range(0, len(states["pos"]), every)
         ]
-    try:
-        import imageio
+    if path is not None:
+        try:
+            import imageio
 
-        imageio.mimsave(path, frames, format="GIF", duration=duration)
-    except Exception:  # pragma: no cover - imageio is in the image
-        pass
+            imageio.mimsave(path, frames, format="GIF", duration=duration)
+        except Exception:  # pragma: no cover - imageio is in the image
+            pass
     return frames

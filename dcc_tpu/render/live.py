@@ -23,8 +23,12 @@ Usage::
         viewer.show(frame)        # draws + processes GUI events
     viewer.close()
 
-The Learner wires this behind ``render_mode: live`` (runtime/learner.py):
-each render interval's tiled env-farm frame is pushed through ``show()``.
+The Learner wires this behind the ``render_live: true`` config key
+(``runtime/learner.py``; also reachable as ``python train.py
+--render-live``): at every render interval the episode's frame list — the
+same (tiled, for multi-env render farms) frames the GIF writer produced —
+is replayed through ``show()``. With ``save_gifs: false`` the frames are
+drawn for the viewer alone and no GIF is written.
 """
 
 from __future__ import annotations
@@ -47,11 +51,14 @@ class LiveViewer:
         try:
             import matplotlib
 
-            # a GUI backend must already be selectable; never force one
+            # a GUI backend must already be selected; never force one.
+            # NB: GUI backends like TkAgg/QtAgg/GTK4Agg *contain* "agg", so
+            # membership in the known NON-GUI set is the right test — not a
+            # substring check.
             backend = matplotlib.get_backend().lower()
-            if "agg" in backend and "webagg" not in backend:
-                # pure raster backend: no window possible
-                return
+            non_gui = {"agg", "pdf", "svg", "ps", "pgf", "cairo", "template"}
+            if backend in non_gui:
+                return  # pure raster/vector backend: no window possible
             import matplotlib.pyplot as plt
 
             self._plt = plt

@@ -181,7 +181,10 @@ class Learner:
                 it % render_interval == 0
                 and self.output_path
                 and self.is_coordinator
-                and self.cfg.get("save_gifs", True)
+                and (
+                    self.cfg.get("save_gifs", True)
+                    or self.cfg.get("render_live", False)
+                )
             ):
                 with self.profiler.phase("render"):
                     self.render(os.path.join(self.output_path, f"models_{it}.gif"))
@@ -215,37 +218,25 @@ class Learner:
             n_envs=n_render,
         )
         size = 700 if n_render == 1 else max(128, 700 // int(np.ceil(np.sqrt(n_render))))
-        render_gif(self.env_cfg, states, path, size=size)
+        # render_gif draws the per-timestep (tiled, for n_render>1) frames
+        # and writes the GIF only when asked — the live viewer replays the
+        # SAME frame list, so nothing is drawn twice
+        gif_path = path if self.cfg.get("save_gifs", True) else None
+        frames = render_gif(self.env_cfg, states, gif_path, size=size)
         if self.cfg.get("render_live", False):
             # workstation analog of the reference's pyglet window
-            # (environment.py:209-315): replay the same episode into a live
+            # (environment.py:209-315): show the render episode in a live
             # matplotlib figure; headless hosts degrade to a frame sink
-            self._live_render(states, size=size)
+            self._live_render(frames)
         return states
 
-    def _live_render(self, states, size: int = 512):
-        from ..render.gif import draw_frame
+    def _live_render(self, frames):
         from ..render.live import LiveViewer
 
         if not hasattr(self, "_live_viewer"):
             self._live_viewer = LiveViewer(title="dcc_tpu training")
-        multi = np.asarray(states["pos"]).ndim == 4  # env axis present
-        pick = (
-            (lambda k, t: np.asarray(states[k][t, 0]))
-            if multi
-            else (lambda k, t: np.asarray(states[k][t]))
-        )
-        for t in range(int(np.asarray(states["pos"]).shape[0])):
-            self._live_viewer.show(
-                draw_frame(
-                    self.env_cfg,
-                    pick("pos", t),
-                    pick("poi_pos", t),
-                    pick("energy", t),
-                    pick("poi_done", t),
-                    size=size,
-                )
-            )
+        for frame in frames:
+            self._live_viewer.show(frame)
         return self._live_viewer
 
     def log(self, it: int, logs: Dict[str, Dict[str, float]]):

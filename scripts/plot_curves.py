@@ -18,6 +18,7 @@ import os
 import sys
 
 import numpy as np
+from scipy.stats import mannwhitneyu  # fail fast, before artifacts write
 
 import matplotlib
 
@@ -166,8 +167,6 @@ def plot_variant(curve_dir, variant):
     # distribution-level comparison (round-3 VERDICT weak #1): two-sided
     # Mann-Whitney U of the final-coverage seed distributions — the same
     # statistic tests/test_curve_parity.py gates on
-    from scipy.stats import mannwhitneyu
-
     def mwu(a_stats, b_stats):
         a = list(a_stats["per_seed"].values())
         b = list(b_stats["per_seed"].values())

@@ -81,7 +81,7 @@ def test_final_coverage_distribution(curves):
     the mean gap must stay above -0.10. A regression that adds
     low-coverage seeds drives the one-sided p below alpha and fails
     here."""
-    from scipy.stats import mannwhitneyu
+    mannwhitneyu = pytest.importorskip("scipy.stats").mannwhitneyu
 
     ref, dcc = curves
     r = np.array(list(ref.values()))
@@ -109,7 +109,7 @@ def test_study_arm_not_significantly_below_reference(arm, alpha):
     * bf16 — the shipped bf16 PRODUCTION config (fused kernels on):
       p vs reference ~0.5, mild tail (2/12), disclosed in PERF_NOTES.
     """
-    from scipy.stats import mannwhitneyu
+    mannwhitneyu = pytest.importorskip("scipy.stats").mannwhitneyu
 
     ref = _final_coverages("reference")
     armv = _final_coverages(f"dcc_tpu_{arm}")
