@@ -50,6 +50,11 @@ def load_yaml_merged(
             cfg.update(yaml.safe_load(f) or {})
     if overrides:
         cfg.update(overrides)
+    if "n_envs" in cfg:
+        # convenience alias: the reference's key is n_rollout_threads
+        # (config/env_config/dcc.yaml:17); accepting --n-envs avoids the
+        # silent-no-op footgun of an unused override key
+        cfg["n_rollout_threads"] = cfg.pop("n_envs")
     for k in _FLOAT_KEYS:
         if k in cfg and cfg[k] is not None:
             cfg[k] = float(cfg[k])
