@@ -154,3 +154,19 @@ def test_connect_final_coverage_within_seed_variance(connect_curves):
     assert r.min() - margin <= d.mean() <= r.max() + margin, (ref, dcc)
     assert d.min() - margin <= r.mean() <= d.max() + margin, (ref, dcc)
     assert abs(d.mean() - r.mean()) < 0.12, (d.mean(), r.mean())
+
+
+def test_connect_distribution(connect_curves):
+    """Connectivity-on distribution gate. Round-4 status (8 ref vs 16 dcc
+    seeds): gap -0.055, one-sided MWU p ~= 0.07 — the framework's weakest
+    parity point, disclosed in README (step physics are golden-identical
+    to <=1e-6; the residual is a training-attainment trend under the
+    1e3-Lipschitz pull force). Gated at alpha=0.01 so a real regression
+    (p collapsing) fails while the known, disclosed trend passes."""
+    mannwhitneyu = pytest.importorskip("scipy.stats").mannwhitneyu
+
+    ref, dcc = connect_curves
+    r = np.array(list(ref.values()))
+    d = np.array(list(dcc.values()))
+    p = float(mannwhitneyu(d, r, alternative="less").pvalue)
+    assert p > 0.01, (p, sorted(np.round(d, 3)), sorted(np.round(r, 3)))
