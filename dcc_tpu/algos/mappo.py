@@ -145,6 +145,14 @@ class MAPPOConfig(NamedTuple):
     # 2048 -> 1.53M, 4096 -> 1.59M, 8192 -> 1.44M env-steps/s; the
     # pre-hoisting round-3 sweep peaked at 2048).
     fused_block_rows: int = 4096
+    # Environment-physics dtype: "float32" (default) or "float64" — the
+    # reference's physics is float64 numpy while its networks are float32
+    # torch; this knob reproduces that split exactly (f64 env state/step,
+    # obs cast to f32 at the network boundary, trajectory stored f32 like
+    # the reference's np.float32 buffer). Requires jax_enable_x64 and a
+    # backend with f64 support (CPU; TPUs have no hardware f64) — the
+    # fidelity-study configuration, not a production one.
+    env_dtype: str = "float32"
     # In bfloat16 mode, store the trajectory's observation rows in bf16 —
     # halves the dominant rollout buffer ((T+1, E, A, obs_dim)), the HBM
     # lever for 32k+ env batches. An approximation, not bit-free: feature-
@@ -264,6 +272,22 @@ class MAPPO:
             net_dtype = None
         else:
             raise ValueError(f"unknown compute_dtype {cfg.compute_dtype!r}")
+        if cfg.env_dtype in ("float64", "f64", "fp64"):
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "env_dtype='float64' requires jax_enable_x64 (and a "
+                    "backend with f64 support — CPU, not TPU)"
+                )
+            if scenario != "coverage":
+                raise NotImplementedError(
+                    "env_dtype='float64' is plumbed for the coverage "
+                    "scenario's reset_batch only"
+                )
+            self._env_dtype = jnp.float64
+        elif cfg.env_dtype in ("float32", "fp32", "f32"):
+            self._env_dtype = jnp.float32
+        else:
+            raise ValueError(f"unknown env_dtype {cfg.env_dtype!r}")
         # rank-3 observation -> CNN trunk for the actor (the reference's
         # obs-shape dispatch, r_actor_critic.py:33); the critic stays MLP
         # because share_obs is always the flat concat (uav_dcc.py:40-43)
@@ -292,7 +316,13 @@ class MAPPO:
             backend = mesh.devices.flat[0].platform
         else:
             backend = jax.default_backend()
-        self._tpu_backend = backend in ("tpu", "axon")
+        # Mosaic does not lower under jax_enable_x64 (measured: i64 index
+        # widths and return-legalization failures), so x64 sessions — the
+        # parity/testing mode — keep the auto dispatch on the XLA paths;
+        # forcing a kernel mode remains possible and fails loudly.
+        self._tpu_backend = (
+            backend in ("tpu", "axon") and not jax.config.jax_enable_x64
+        )
         if cfg.fused_trunk in ("on", "interpret"):
             # Forcing the kernel must not silently no-op or mis-shard: the
             # trunk has no CNN variant, the separated path vmaps the
@@ -607,7 +637,15 @@ class MAPPO:
             else jnp.float32
         )
         key, k_reset = jax.random.split(key)
-        states = self._reset_batch(env_cfg, k_reset, n_envs)
+        if self._env_dtype is jnp.float64:
+            # fidelity mode: f64 physics (the reference's numpy), f32 nets
+            states = self._reset_batch(
+                env_cfg, k_reset, n_envs, dtype=jnp.float64
+            )
+            e2n = lambda x: x.astype(jnp.float32)  # env -> net boundary
+        else:
+            states = self._reset_batch(env_cfg, k_reset, n_envs)
+            e2n = lambda x: x
         states = _mesh.constrain(states, self.mesh, 0)  # shard envs over 'data'
         obs0 = jax.vmap(lambda s: self._obs_fn(env_cfg, s))(states)
         L, H = self.cfg.recurrent_n, self.cfg.hidden_size
@@ -637,9 +675,11 @@ class MAPPO:
                 h_c_pre = h_c
             else:
                 h_a_pre = h_c_pre = None
-            # decentralized actors on (E*A, D)
-            flat_obs = obs.reshape(n_envs * n_agents, *self._obs_shape)
-            cent = obs.reshape(n_envs, -1)
+            # decentralized actors on (E*A, D); f64-env mode casts at the
+            # net boundary (the reference's torch-f32-on-numpy-f64 split)
+            net_obs = e2n(obs)
+            flat_obs = net_obs.reshape(n_envs * n_agents, *self._obs_shape)
+            cent = net_obs.reshape(n_envs, -1)
             if self._recurrent and self._sep:
                 # per-agent recurrent actors/critics (SeparatedReplayBuffer
                 # rollout layout: each agent tracks its own hidden states)
@@ -650,7 +690,7 @@ class MAPPO:
                     ),
                     in_axes=(0, 0, 1, 0),
                     out_axes=(1, 1, 0),
-                )(ts.actor_params, k_agents, obs, h_a)
+                )(ts.actor_params, k_agents, net_obs, h_a)
                 v, h_c = jax.vmap(
                     lambda p, h: self.value(p, cent, h, mask),
                     in_axes=(0, 0),
@@ -671,7 +711,7 @@ class MAPPO:
                     lambda p, k, o: self.act(p, k, o, deterministic),
                     in_axes=(0, 0, 1),
                     out_axes=1,
-                )(ts.actor_params, k_agents, obs)
+                )(ts.actor_params, k_agents, net_obs)
                 v = jax.vmap(
                     lambda p: self.value(p, cent), out_axes=1
                 )(ts.critic_params)  # (E, A, 1)
@@ -689,9 +729,9 @@ class MAPPO:
                 action,
                 logp,
                 v,
-                out.reward[:, None],
+                out.reward[:, None].astype(jnp.float32),
                 mask_next,
-                out.coverage_rate,
+                out.coverage_rate.astype(jnp.float32),
                 h_a_pre,
                 h_c_pre,
                 bad_mask_next,
@@ -704,8 +744,9 @@ class MAPPO:
         ) = jax.lax.scan(
             body, (states, obs0, key, h_actor0, h_critic0, mask0), None, length=T
         )
+        obs_T_net = e2n(obs_T)
         if self._recurrent and self._sep:
-            cent_T = obs_T.reshape(n_envs, -1)
+            cent_T = obs_T_net.reshape(n_envs, -1)
             v_T, _ = jax.vmap(
                 lambda p, h: self.value(p, cent_T, h, mask_T),
                 in_axes=(0, 0),
@@ -713,15 +754,15 @@ class MAPPO:
             )(ts.critic_params, h_cT)  # (E, A, 1)
         elif self._recurrent:
             v_T, _ = self.value(
-                ts.critic_params, obs_T.reshape(n_envs, -1), h_cT, mask_T
+                ts.critic_params, obs_T_net.reshape(n_envs, -1), h_cT, mask_T
             )
         elif self._sep:
-            cent_T = obs_T.reshape(n_envs, -1)
+            cent_T = obs_T_net.reshape(n_envs, -1)
             v_T = jax.vmap(lambda p: self.value(p, cent_T), out_axes=1)(
                 ts.critic_params
             )
         else:
-            v_T = self.value(ts.critic_params, obs_T.reshape(n_envs, -1))
+            v_T = self.value(ts.critic_params, obs_T_net.reshape(n_envs, -1))
         return Trajectory(
             obs=jnp.concatenate([obs, obs_T[None].astype(store_dtype)], axis=0),
             actions=actions,

@@ -133,6 +133,7 @@ def to_algo_config(cfg: Dict[str, Any]) -> MAPPOConfig:
         fused_block_rows=int(cfg.get("fused_block_rows", 4096)),
         store_obs_bf16=bool(cfg.get("store_obs_bf16", True)),
         fused_loss=str(cfg.get("fused_loss", "auto")),
+        env_dtype=str(cfg.get("env_dtype", "float32")),
     )
 
 

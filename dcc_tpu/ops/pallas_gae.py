@@ -35,7 +35,9 @@ def _gae_kernel(r_ref, vn_ref, vc_ref, m_ref, adv_ref, ret_ref, *, gamma, lam, T
     """Reverse-time first-order linear recurrence over the sublane axis."""
 
     def body(i, gae):
-        t = T - 1 - i
+        # keep index math i32: under jax_enable_x64 the fori_loop index
+        # would otherwise be i64 and Mosaic rejects the mixed-width subi
+        t = jnp.int32(T - 1) - i.astype(jnp.int32)
         r = r_ref[pl.ds(t, 1), :]
         vn = vn_ref[pl.ds(t, 1), :]
         vc = vc_ref[pl.ds(t, 1), :]
@@ -47,7 +49,7 @@ def _gae_kernel(r_ref, vn_ref, vc_ref, m_ref, adv_ref, ret_ref, *, gamma, lam, T
         return gae
 
     zero = jnp.zeros((1, r_ref.shape[1]), r_ref.dtype)
-    jax.lax.fori_loop(0, T, body, zero)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, zero)
 
 
 @partial(jax.jit, static_argnames=("gamma", "gae_lambda", "block_b", "interpret"))

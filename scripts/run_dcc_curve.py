@@ -26,6 +26,18 @@ sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
 
+# Backend-affecting config updates MUST precede the dcc_tpu import:
+# importing it evaluates jnp.asarray in NamedTuple defaults (valuenorm),
+# which initializes the backend and freezes jax_platforms.
+if os.environ.get("DCC_CURVE_ENV_DTYPE", "").startswith("float64"):
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")  # TPUs have no hardware f64
+if os.environ.get("DCC_CURVE_MATMUL_PRECISION"):
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ["DCC_CURVE_MATMUL_PRECISION"],
+    )
+
 from dcc_tpu.algos import MAPPO  # noqa: E402
 from dcc_tpu.configs.loader import load as load_config  # noqa: E402
 
@@ -64,14 +76,15 @@ def main():
         )
     if os.environ.get("DCC_CURVE_DTYPE"):
         overrides["compute_dtype"] = os.environ["DCC_CURVE_DTYPE"]
-    if os.environ.get("DCC_CURVE_MATMUL_PRECISION"):
-        # study discriminator: stock autodiff with HIGHEST-precision f32
-        # matmuls isolates "matmul precision" from "fused-kernel numerics"
-        # as the cause of the fused-f32 arm's tail
-        jax.config.update(
-            "jax_default_matmul_precision",
-            os.environ["DCC_CURVE_MATMUL_PRECISION"],
-        )
+    if os.environ.get("DCC_CURVE_ENV_DTYPE"):
+        # fidelity-study arm: f64 physics like the reference's numpy.
+        # Requires x64 AND an f64-capable backend — force CPU (TPUs have
+        # no hardware double precision).
+        overrides["env_dtype"] = os.environ["DCC_CURVE_ENV_DTYPE"]
+        if overrides["env_dtype"].startswith("float64"):
+            # x64/platform updates already applied at module top (before
+            # the dcc_tpu import); keep the TPU-auto kernels out too
+            overrides.setdefault("gae_backend", "xla")
     tag = os.environ.get("DCC_CURVE_TAG", "")
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])

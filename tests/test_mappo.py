@@ -603,3 +603,28 @@ def test_update_chunks_guards():
         MAPPO(MAPPOConfig(update_chunks=2, num_mini_batch=2), ENV)
     with _pytest.raises(NotImplementedError):
         MAPPO(MAPPOConfig(update_chunks=2, use_recurrent_policy=True), ENV)
+
+
+def test_env_dtype_float64_fidelity_mode():
+    """env_dtype='float64' (the reference's numpy-f64-physics /
+    torch-f32-nets split): the rollout runs the env in f64, casts at the
+    net boundary, and stores the trajectory float32 like the reference's
+    np.float32 buffer — and a train iteration runs end to end. (conftest
+    enables x64, which this mode requires.)"""
+    cfg = MAPPOConfig(
+        n_rollout_threads=4, episode_length=8, ppo_epoch=1, n_iters=2,
+        env_dtype="float64",
+    )
+    algo = MAPPO(cfg, ENV)
+    ts = algo.init_state(jax.random.PRNGKey(0))
+    traj = jax.jit(lambda ts, k: algo.rollout(ts, k, 4))(
+        ts, jax.random.PRNGKey(1)
+    )
+    assert traj.obs.dtype == jnp.float32
+    assert traj.rewards.dtype == jnp.float32
+    ts2, m = jax.jit(algo.train_iteration)(ts, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m.reward))
+    # f32 env mode is the default and unchanged
+    algo32 = MAPPO(MAPPOConfig(n_rollout_threads=4, episode_length=8,
+                               ppo_epoch=1), ENV)
+    assert algo32._env_dtype == jnp.float32
