@@ -173,6 +173,19 @@ def plot_variant(curve_dir, variant):
         return float(mannwhitneyu(a, b, alternative="two-sided").pvalue)
 
     summary["mannwhitney_p"] = mwu(summary["reference"], summary["dcc_tpu"])
+    if variant == "connect":
+        # fidelity-hypothesis arm: f64 physics (env_dtype=float64) on the
+        # connect config — tests whether the f32 training env explains the
+        # connect-config attainment gap
+        envf64 = load_series(curve_dir, "dcc_tpu_connect_envf64")
+        if envf64:
+            summary["dcc_tpu_envf64"] = band_stats(envf64, "coverage_rate")
+            summary["mannwhitney_p_envf64_vs_reference"] = mwu(
+                summary["reference"], summary["dcc_tpu_envf64"]
+            )
+            summary["mannwhitney_p_envf64_vs_f32"] = mwu(
+                summary["dcc_tpu"], summary["dcc_tpu_envf64"]
+            )
     if variant == "default":
         # the fused-kernel robustness study arms (round-4): the default
         # dcc_tpu arm is the SHIPPED f32 config (stock autodiff since the
