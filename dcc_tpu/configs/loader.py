@@ -75,6 +75,7 @@ def to_env_config(cfg: Dict[str, Any]) -> EnvConfig:
         collision_penalty=float(cfg.get("collision_penalty", 0.0)),
         collision_radius=float(cfg.get("collision_radius", 0.08)),
         fix_scaled_connectivity=bool(cfg.get("fix_scaled_connectivity", False)),
+        compensated_forces=bool(cfg.get("compensated_forces", False)),
         time_limit=bool(cfg.get("time_limit", False)),
         discrete_actions=bool(cfg.get("discrete_actions", False)),
         action_mode=str(cfg.get("action_mode", "")),

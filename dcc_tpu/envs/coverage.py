@@ -106,6 +106,12 @@ class EnvConfig(NamedTuple):
     collision_penalty: float = 0.0
     collision_radius: float = 0.08
     fix_scaled_connectivity: bool = False
+    # Compensated-precision pull force: evaluate the connectivity-force
+    # distance/softplus-argument chain in double-float (~2^-48) while the
+    # env state stays float32. TPU-runnable stand-in for the reference's
+    # f64 numpy physics on the one path whose error is amplified by
+    # 1/contact_margin = 1e3 (CoverageWorld.py:129-140); see ops/df64.py.
+    compensated_forces: bool = False
     # Truncate episodes at max_ep_len (a gym TimeLimit analog; the reference
     # env never truncates — its episodes only end on the scenario done,
     # scenarios/coverage.py:112-117). Truncations are reported separately
@@ -297,6 +303,37 @@ def _pull_force(cfg: EnvConfig, delta: jax.Array, dist: jax.Array) -> jax.Array:
     return cfg.effective_contact_force * delta / dist * penetration
 
 
+def _pull_force_df64(cfg: EnvConfig, delta_pair) -> jax.Array:
+    """Compensated-precision pull force (``compensated_forces=True``).
+
+    Same math as :func:`_pull_force` (``CoverageWorld.py:129-140``) but the
+    distance -> softplus-argument -> penetration chain runs in double-float
+    (:mod:`dcc_tpu.ops.df64`), eliminating the f32 rounding of ``dist``
+    that the 1/contact_margin = 1e3 argument scale amplifies. ``delta_pair``
+    is a per-component exact (hi, lo) pair of ``pos_a - pos_b``; returns the
+    f32 force applied to *b*.
+    """
+    from ..ops import df64
+
+    dx, dy = (delta_pair[0][..., 0], delta_pair[1][..., 0]), (
+        delta_pair[0][..., 1],
+        delta_pair[1][..., 1],
+    )
+    d2 = df64.add(df64.mul(dx, dx), df64.mul(dy, dy))
+    d = df64.sqrt(d2)
+    dist_max = df64.from_f64(2.0 * cfg.r_comm * cfg.comm_r_scale)
+    k = df64.from_f64(cfg.contact_margin)
+    arg = df64.div(df64.add(d, (-dist_max[0], -dist_max[1])), k)
+    # softplus in double-float to first order: sp(hi+lo) ~= sp(hi) + sig(hi)*lo
+    sp = (jax.nn.softplus(arg[0]), jax.nn.sigmoid(arg[0]) * arg[1])
+    pen = df64.mul(sp, k)
+    cf = df64.from_f64(cfg.contact_force * cfg.comm_force_scale)
+    factor = df64.mul(df64.div(pen, d), cf)
+    fx = df64.mul(factor, dx)
+    fy = df64.mul(factor, dy)
+    return jnp.stack([df64.to_f32(fx), df64.to_f32(fy)], axis=-1)
+
+
 def _connect_force(cfg: EnvConfig, pos, dist, adj_, connect_s) -> jax.Array:
     """Rule-based connectivity-preservation force as masked array math
     (``CoverageWorld.apply_connect_force``, ``CoverageWorld.py:100-127``).
@@ -315,12 +352,25 @@ def _connect_force(cfg: EnvConfig, pos, dist, adj_, connect_s) -> jax.Array:
     # on TPU (measured ~170x slower at 4096 envs), so partner selection is
     # expressed as one-hot contractions that stay on the VPU/MXU.
 
+    # Compensated mode (compensated_forces=True, f32 state): the partner
+    # SELECTION below stays f32 (discrete argmins), but the force magnitude
+    # chain runs in double-float — see _pull_force_df64.
+    comp = cfg.compensated_forces and dtype == jnp.float32
+
     # --- case 1: per-isolated-agent nearest-neighbor pull ---
     b1 = jnp.argmin(dist, axis=1)  # (N,) nearest agent per row
-    hot_b1 = jax.nn.one_hot(b1, n, dtype=dtype)  # (N, N)
+    hot_b1 = jnp.asarray(jax.nn.one_hot(b1, n, dtype=dtype))  # (N, N)
     delta1 = pos - hot_b1 @ pos  # pos_a - pos_b
     d1 = jnp.min(dist, axis=1, keepdims=True)
-    f1 = _pull_force(cfg, delta1, d1)  # (N, 2), force on b
+    if comp:
+        from ..ops.df64 import two_diff
+
+        # gather (exact), not one-hot matmul: TPU DEFAULT-precision matmuls
+        # round f32 operands to bf16, which would break the error-free
+        # two_diff transform below
+        f1 = _pull_force_df64(cfg, two_diff(pos, pos[b1]))
+    else:
+        f1 = _pull_force(cfg, delta1, d1)  # (N, 2), force on b
     w1 = isolated.astype(dtype)[:, None]
     case1 = -f1 * w1 + hot_b1.T @ (f1 * w1)
 
@@ -334,7 +384,12 @@ def _connect_force(cfg: EnvConfig, pos, dist, adj_, connect_s) -> jax.Array:
     hot_b2 = jax.nn.one_hot(flat % n, n, dtype=dtype)
     delta2 = hot_a2 @ pos - hot_b2 @ pos
     d2 = jnp.min(masked)
-    f2 = _pull_force(cfg, delta2, d2)
+    if comp:
+        f2 = _pull_force_df64(
+            cfg, two_diff(pos[flat // n], pos[flat % n])
+        )
+    else:
+        f2 = _pull_force(cfg, delta2, d2)
     case2 = hot_b2[:, None] * f2 - hot_a2[:, None] * f2
 
     force = jnp.where(any_isolated, case1, case2)

@@ -32,6 +32,8 @@ import jax  # noqa: E402
 if os.environ.get("DCC_CURVE_ENV_DTYPE", "").startswith("float64"):
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_platforms", "cpu")  # TPUs have no hardware f64
+if os.environ.get("DCC_CURVE_PLATFORM"):  # smoke-test hook (chip may be busy)
+    jax.config.update("jax_platforms", os.environ["DCC_CURVE_PLATFORM"])
 if os.environ.get("DCC_CURVE_MATMUL_PRECISION"):
     jax.config.update(
         "jax_default_matmul_precision",
@@ -53,6 +55,20 @@ def main():
 
     overrides = {"seed": seed}
     variant = os.environ.get("DCC_CURVE_CONFIG", "default")
+    # DCC_CURVE_ALGO=maddpg: record the MADDPG learning curve (the reference
+    # ships MADDPG unwired — algos/maddpg.py dead code — so this band is a
+    # SELF-band that pins regressions, not a reference-parity artifact).
+    algo_name = os.environ.get("DCC_CURVE_ALGO", "mappo")
+    if algo_name != "mappo":
+        overrides["algo_file"] = algo_name
+    # DCC_CURVE_RECURRENT=1: GRU policy at the same run shape
+    # (use_recurrent_policy, reference algos/algo_utils/rnn.py:24-80)
+    if os.environ.get("DCC_CURVE_RECURRENT"):
+        overrides["use_recurrent_policy"] = True
+    # DCC_CURVE_COMPENSATED=1: double-float pull-force chain (ops/df64) —
+    # the TPU-runnable analog of the f64-physics fidelity arm
+    if os.environ.get("DCC_CURVE_COMPENSATED"):
+        overrides["compensated_forces"] = True
     if variant == "connect":
         # connectivity-preservation on: the same 4x20 shape and force
         # strength as scripts/run_reference_curve.py's connect variant
@@ -89,7 +105,14 @@ def main():
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])
 
-    algo = MAPPO(algo_cfg, env_cfg)
+    if algo_name == "mappo":
+        algo = MAPPO(algo_cfg, env_cfg)
+        fields = ["value_loss", "policy_loss", "dist_entropy", "ratio"]
+    else:
+        from dcc_tpu.algos.factory import make_algo
+
+        algo = make_algo(cfg, env_cfg)
+        fields = ["qf_loss", "policy_loss"]
     key = jax.random.PRNGKey(seed)
     ts = algo.init_state(key)
     base_key = jax.random.fold_in(key, 7)
@@ -99,27 +122,17 @@ def main():
         k = jax.random.fold_in(base_key, ts.iteration)
         return algo.train_iteration(ts, k)
 
-    series = {
-        "reward": [],
-        "coverage_rate": [],
-        "value_loss": [],
-        "policy_loss": [],
-        "dist_entropy": [],
-        "ratio": [],
-        "iter_time_s": [],
-    }
+    series = {k: [] for k in ["reward", "coverage_rate"] + fields + ["iter_time_s"]}
     t_start = time.time()
     for iter_ in range(1, n_iters + 1):
         t0 = time.time()
         ts, m = train(ts, base_key)
         m = jax.block_until_ready(m)
         dt = time.time() - t0
-        series["reward"].append(float(m.reward))
-        series["coverage_rate"].append(float(m.coverage_rate))
-        series["value_loss"].append(float(m.value_loss))
-        series["policy_loss"].append(float(m.policy_loss))
-        series["dist_entropy"].append(float(m.dist_entropy))
-        series["ratio"].append(float(m.ratio))
+        if not isinstance(m, dict):  # MAPPO Metrics NamedTuple
+            m = {k: getattr(m, k) for k in ["reward", "coverage_rate"] + fields}
+        for k in ["reward", "coverage_rate"] + fields:
+            series[k].append(float(m[k]))
         series["iter_time_s"].append(round(dt, 4))
         if iter_ % 10 == 0 or iter_ == 1:
             print(
