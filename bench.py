@@ -56,8 +56,30 @@ import sys
 import time
 
 
+class Rate:
+    """steps/s statistics over k timed repetitions: median + min/max.
+
+    A single-shot number through the tunneled backend can swing 3x
+    run-to-run (round-4 VERDICT weak #4), so every reported field carries
+    its within-run dispersion; round-to-round comparisons should quote the
+    median and check the intervals overlap."""
+
+    def __init__(self, n_steps, times):
+        times = sorted(times)
+        self.median = n_steps / times[len(times) // 2]
+        self.min = n_steps / times[-1]  # slowest rep -> lowest rate
+        self.max = n_steps / times[0]
+        self.median_time_s = times[len(times) // 2]
+
+    def __float__(self):
+        return self.median
+
+    def minmax(self):
+        return [round(self.min, 1), round(self.max, 1)]
+
+
 def _sync_median_rate(fn, args, n_steps, iters):
-    """Median steps/s of fn(*args) over `iters` timed calls (2 warmups).
+    """Rate stats of fn(*args) over `iters` timed calls (2 warmups).
     NB: on the tunneled TPU backend block_until_ready can return before
     remote execution finishes, so synchronize with an actual device->host
     scalar fetch done by the caller-provided fn."""
@@ -68,8 +90,7 @@ def _sync_median_rate(fn, args, n_steps, iters):
         t0 = time.time()
         fn(*args)
         times.append(time.time() - t0)
-    times.sort()
-    return n_steps / times[len(times) // 2]
+    return Rate(n_steps, times)
 
 
 def _build(n_envs, T, dtype, remat, chunks, fused, block_rows,
@@ -158,7 +179,71 @@ def _measure_env_only(n_envs, T, iters):
     return _sync_median_rate(step, (), n_envs * T, iters)
 
 
+_PEAKS = {
+    # chip kind -> (dense peak FLOPs/s at bf16, HBM GB/s). Public spec-sheet
+    # numbers; used only to anchor the achieved rates as a utilization %.
+    "TPU v5 lite": (394e12, 819.0),
+    "TPU v5e": (394e12, 819.0),
+    "TPU v4": (275e12, 1228.0),
+    "TPU v6 lite": (918e12, 1640.0),
+    "TPU v6e": (918e12, 1640.0),
+}
+
+
+def _roofline(algo, n_envs, T, iter_time_s, rollout_time_s):
+    """Analytic MFU / HBM-bandwidth utilization for the PPO update phase.
+
+    FLOP and byte counts follow benchmarks/PERF_NOTES.md's round-4
+    arithmetic: matmul-chain FLOPs only (fwd + ~2x bwd = 3x forward), actor
+    rows R = T*E*A over the (obs->h, h->h) trunk + head, critic rows
+    Rv = T*E over the (share_obs->h, h->h) trunk; per-epoch HBM traffic =
+    input rows once (the fused kernels keep activations in VMEM). Both are
+    lower bounds on work, so the utilization figures are conservative.
+    """
+    import jax
+
+    env_cfg = algo.env_cfg
+    c = algo.cfg
+    h = c.hidden_size
+    A, din, dcent = env_cfg.n_agents, env_cfg.obs_dim, env_cfg.share_obs_dim
+    act_w = env_cfg.action_dim
+    R = T * n_envs * A
+    Rv = T * n_envs
+    actor_fwd = 2 * (din * h + h * h + h * act_w) * R
+    critic_fwd = 2 * (dcent * h + h * h + h) * Rv
+    epochs = c.ppo_epoch * c.num_mini_batch
+    update_flops = 3 * (actor_fwd + critic_fwd) * epochs
+    # rollout: actor fwd per step + critic fwd on T+1 rows for values
+    rollout_flops = actor_fwd + critic_fwd * (T + 1) / T
+    bytes_el = 2 if c.compute_dtype in ("bfloat16", "bf16") else 4
+    update_bytes = (R * din + Rv * dcent) * bytes_el * epochs \
+        + (5 * R + 3 * Rv) * 4 * epochs
+    update_time = max(iter_time_s - rollout_time_s, 1e-9)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAKS.items() if k in kind), None)
+    out = {
+        "update_time_s": round(update_time, 4),
+        "update_tflops": round(update_flops / 1e12, 2),
+        "achieved_tflops_per_s": round(update_flops / update_time / 1e12, 1),
+        "achieved_hbm_gbps": round(update_bytes / update_time / 1e9, 1),
+        "full_iter_tflops_per_s": round(
+            (update_flops + rollout_flops) / iter_time_s / 1e12, 1
+        ),
+        "device_kind": kind,
+    }
+    if peak:
+        out["update_mfu_pct"] = round(100 * update_flops / update_time / peak[0], 1)
+        out["update_membw_pct"] = round(
+            100 * update_bytes / update_time / (peak[1] * 1e9), 1
+        )
+    return out
+
+
 def main():
+    if os.environ.get("BENCH_PLATFORM"):  # smoke-test hook (chip may be busy)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     T = int(os.environ.get("BENCH_T", "150"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     only = os.environ.get("BENCH_DTYPE")  # float32|bfloat16 -> one config
@@ -206,11 +291,16 @@ def main():
         results.append((c, sps))
         if i == 0 and os.environ.get("BENCH_SKIP_PHASES", "0") != "1":
             # phase-isolated rates at the headline shape (BASELINE config #4)
-            phase_rates["rollout_steps_per_s"] = round(
-                _measure_rollout(algo, ts, c["n_envs"], T, iters), 1
-            )
-            phase_rates["env_only_steps_per_s"] = round(
-                _measure_env_only(c["n_envs"], T, iters), 1
+            roll = _measure_rollout(algo, ts, c["n_envs"], T, iters)
+            env = _measure_env_only(c["n_envs"], T, iters)
+            phase_rates["rollout_steps_per_s"] = round(roll.median, 1)
+            phase_rates["rollout_steps_per_s_minmax"] = roll.minmax()
+            phase_rates["env_only_steps_per_s"] = round(env.median, 1)
+            phase_rates["env_only_steps_per_s_minmax"] = env.minmax()
+            phase_rates.update(
+                _roofline(
+                    algo, c["n_envs"], T, sps.median_time_s, roll.median_time_s
+                )
             )
 
     mesh1_sps = None
@@ -244,9 +334,11 @@ def main():
     head_cfg, head_sps = results[0]
     line = {
         "metric": "mappo_train_env_steps_per_s_1chip",
-        "value": round(head_sps, 1),
+        "value": round(head_sps.median, 1),
+        "value_minmax": head_sps.minmax(),
+        "bench_reps": iters,
         "unit": "env-steps/s",
-        "vs_baseline": round(head_sps / base, 1) if base else None,
+        "vs_baseline": round(head_sps.median / base, 1) if base else None,
         "dtype": head_cfg["dtype"],
         "n_envs": head_cfg["n_envs"],
         # dispatch fields read off the BUILT algo, not the requested config
@@ -264,16 +356,18 @@ def main():
     }
     line.update(phase_rates)
     if mesh1_sps is not None:
-        line["mesh1_value"] = round(mesh1_sps, 1)
-        line["mesh1_vs_nomesh"] = round(mesh1_sps / head_sps, 3)
+        line["mesh1_value"] = round(mesh1_sps.median, 1)
+        line["mesh1_minmax"] = mesh1_sps.minmax()
+        line["mesh1_vs_nomesh"] = round(mesh1_sps.median / head_sps.median, 3)
     if "env_only_steps_per_s" in phase_rates and env_base:
         line["env_only_vs_baseline"] = round(
             phase_rates["env_only_steps_per_s"] / env_base, 1
         )
     for c, sps in results[1:]:
-        line[f"{c['dtype']}_value"] = round(sps, 1)
+        line[f"{c['dtype']}_value"] = round(sps.median, 1)
+        line[f"{c['dtype']}_minmax"] = sps.minmax()
         line[f"{c['dtype']}_vs_baseline"] = (
-            round(sps / base, 1) if base else None
+            round(sps.median / base, 1) if base else None
         )
         line[f"{c['dtype']}_n_envs"] = c["n_envs"]
     print(json.dumps(line))
