@@ -243,6 +243,29 @@ def test_heuristic_policy_improves_coverage():
     assert cr > 0.2  # scripted controller covers a meaningful share
 
 
+def test_interactive_policy_stream_teleop():
+    """stdin WASD teleop (reference keyboard policy analog,
+    multiagent/policy.py:13-52): commands drive one agent, everyone else
+    holds still, unknown input is a no-op — driven here from a StringIO
+    stream, and through a real env step."""
+    import io
+
+    from dcc_tpu.envs import DCEnv
+    from dcc_tpu.envs.policy import InteractivePolicy
+
+    pol = InteractivePolicy(n_agents=4, agent_idx=1,
+                            stream=io.StringIO("w\nd\nx\n\nS\n"))
+    env = DCEnv()
+    obs = env.reset()
+    expected = [(0, 1), (1, 0), (0, 0), (0, 0), (0, -1)]
+    for exp in expected:
+        act = pol.action(obs)
+        assert act.shape == (4, 2)
+        np.testing.assert_array_equal(act[1], np.asarray(exp, np.float32))
+        assert (act[[0, 2, 3]] == 0).all()  # other agents hold still
+        obs, rew, done, info = env.step(act)
+
+
 def test_spaces():
     from dcc_tpu.envs import Box, Discrete, MultiDiscrete
 
