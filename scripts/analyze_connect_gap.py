@@ -1,0 +1,260 @@
+"""Mechanistic analysis of the connectivity-ON parity gap (round-4 VERDICT
+weak #1): is the residual attainment gap a precision defect or seed-level
+chaos?
+
+Produces benchmarks/CONNECT_GAP.md with three pieces of evidence:
+
+1. **Arm distributions** — final-20-iter coverage of every committed
+   connect-config arm (reference f64-physics, dcc f32, dcc f64-physics
+   fidelity mode, dcc compensated double-float forces) with one-sided
+   Mann-Whitney p-values against the reference band.
+2. **Per-step precision perturbation** — along an f64 ground-truth
+   trajectory through the pull-force regime, the per-step relative force
+   error of (a) plain f32 evaluation and (b) the compensated double-float
+   path (envs/coverage.py `compensated_forces`): how big the injected
+   numerical noise actually is in each arm.
+3. **Chaos amplification (Lyapunov)** — two f64 trajectories from
+   identically-seeded states, one with a 1e-7 position perturbation:
+   per-step divergence growth rate and the horizon at which divergence
+   reaches O(1). If that horizon is much shorter than an episode, ANY
+   sub-1e-7 force difference (f32 rounding, kernel reassociation, f64
+   physics) produces statistically independent trajectories — precision
+   arms are then independent draws from the same seed-chaos distribution,
+   and only the DISTRIBUTIONS are comparable, never individual runs.
+
+Run on CPU (needs x64): python scripts/analyze_connect_gap.py
+"""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from dcc_tpu.envs import coverage as cov  # noqa: E402
+
+CURVE_DIR = os.path.join(REPO, "benchmarks", "learning_curves")
+
+
+def final_covs(stem, last=20, min_iters=200):
+    out = []
+    for p in sorted(glob.glob(os.path.join(CURVE_DIR, f"{stem}_seed*.json"))):
+        d = json.load(open(p))
+        c = np.asarray(d["series"]["coverage_rate"], float)
+        if len(c) >= min_iters:
+            out.append(float(c[-last:].mean()))
+    return np.asarray(out)
+
+
+def arm_table():
+    from scipy.stats import mannwhitneyu
+
+    ref = final_covs("reference_connect")
+    arms = {
+        "reference (torch, f64 physics)": ref,
+        "dcc f32 (shipped)": final_covs("dcc_tpu_connect"),
+        "dcc f64 physics (fidelity mode, CPU)": final_covs("dcc_tpu_connect_envf64"),
+        "dcc f32 + compensated df64 forces (TPU)": final_covs("dcc_tpu_connect_comp"),
+    }
+    rows = []
+    for name, v in arms.items():
+        if len(v) == 0:
+            continue
+        row = {
+            "arm": name,
+            "n": len(v),
+            "mean": round(float(v.mean()), 3),
+            "sd": round(float(v.std(ddof=1)), 3) if len(v) > 1 else None,
+            "min": round(float(v.min()), 3),
+            "gap_vs_ref": round(float(v.mean() - ref.mean()), 3) if len(ref) else None,
+        }
+        if len(ref) >= 3 and name != "reference (torch, f64 physics)":
+            row["mwu_p_one_sided"] = round(
+                float(mannwhitneyu(v, ref, alternative="less").pvalue), 3
+            )
+        rows.append(row)
+    return rows
+
+
+def _forces(cfg, pos):
+    dist, adj, adj_, connect, connect_s = cov.connectivity(cfg, pos)
+    return cov._connect_force(cfg, pos, dist, adj_, connect_s), bool(connect_s)
+
+
+def _rand_act(key, n, scale=1.0):
+    return scale * jax.random.uniform(key, (n, 2), jnp.float64, -1.0, 1.0)
+
+
+def perturbation_study(n_steps=400, n_seeds=4):
+    """Separate the two f32 noise channels on pull-force-active states from
+    f64 random-walk trajectories (random actions spread the agents; a
+    goal-directed policy keeps them clustered and the force never fires):
+
+    * **arithmetic error** — force computed at the SAME f32 positions, f32
+      pipeline vs compensated pipeline vs f64 evaluation of those exact
+      positions. This is what ``compensated_forces`` removes.
+    * **state-rounding error** — f64-arithmetic force at pos64 vs at
+      round_f32(pos64): the noise injected by keeping the STATE in f32,
+      which no in-step arithmetic can remove (only f64 state could).
+    """
+    base = dict(comm_force_scale=5.0, comm_r_scale=0.95)
+    cfg64 = cov.EnvConfig(**base)
+    cfg32c = cov.EnvConfig(**base, compensated_forces=True)
+    arith32, arithC, rounding = [], [], []
+    for seed in range(n_seeds):
+        key = jax.random.PRNGKey(seed)
+        state = cov.reset(cfg64, key, cov.default_poi_bank(), dtype=jnp.float64)
+        for t in range(n_steps):
+            pos64 = state.pos
+            pos32 = jnp.asarray(pos64, jnp.float32)
+            pos32as64 = jnp.asarray(pos32, jnp.float64)
+            truth32, cs = _forces(cfg64, pos32as64)  # f64 math at f32 points
+            if not cs:
+                m = float(jnp.max(jnp.abs(truth32)))
+                if m > 1e-9:
+                    f32, _ = _forces(cfg64, pos32)
+                    fC, _ = _forces(cfg32c, pos32)
+                    f64, _ = _forces(cfg64, pos64)
+                    arith32.append(
+                        float(jnp.max(jnp.abs(f32.astype(jnp.float64) - truth32))) / m
+                    )
+                    arithC.append(
+                        float(jnp.max(jnp.abs(fC.astype(jnp.float64) - truth32))) / m
+                    )
+                    rounding.append(float(jnp.max(jnp.abs(f64 - truth32))) / m)
+            state, _ = cov.step(
+                cfg64,
+                state,
+                _rand_act(jax.random.fold_in(key, 10_000 + t), cfg64.n_agents),
+            )
+    return arith32, arithC, rounding
+
+
+def lyapunov_study(n_steps=150, eps=1e-7, n_seeds=16):
+    """Divergence of paired f64 trajectories differing by eps in one
+    position, under identical random action sequences.
+
+    The plant is dissipative (damping 0.25/step), so between discrete
+    events the perturbation DECAYS; divergence is event-driven — an
+    adjacency flip, argmin partner switch, PoI-done flip, or pull-force
+    onset on one side of the pair but not the other kicks the pair O(1)
+    apart. Reports the per-seed final divergence, i.e. how often one
+    1-ulp-scale difference flips at least one discrete event within a
+    single episode."""
+    base = dict(comm_force_scale=5.0, comm_r_scale=0.95)
+    cfg = cov.EnvConfig(**base)
+    finals = []
+    for seed in range(n_seeds):
+        key = jax.random.PRNGKey(seed)
+        s1 = cov.reset(cfg, key, cov.default_poi_bank(), dtype=jnp.float64)
+        s2 = s1.replace(pos=s1.pos.at[0, 0].add(eps))
+        for t in range(n_steps):
+            a = _rand_act(jax.random.fold_in(key, t), cfg.n_agents)
+            s1, _ = cov.step(cfg, s1, a)
+            s2, _ = cov.step(cfg, s2, a)
+        finals.append(float(jnp.max(jnp.abs(s1.pos - s2.pos))))
+    return finals
+
+
+def main():
+    md = ["# Connectivity-ON parity gap: mechanistic analysis\n"]
+    md.append(
+        "Question (round-4 VERDICT weak #1): the connect-config attainment gap "
+        "— precision defect or seed-level chaos? Three measurements:\n"
+    )
+
+    md.append("## 1. Arm distributions (final-20-iteration coverage)\n")
+    md.append("| arm | n | mean | sd | min | gap vs ref | MWU p (one-sided) |")
+    md.append("|---|---|---|---|---|---|---|")
+    for r in arm_table():
+        md.append(
+            f"| {r['arm']} | {r['n']} | {r['mean']} | {r.get('sd')} | "
+            f"{r['min']} | {r.get('gap_vs_ref')} | {r.get('mwu_p_one_sided', '—')} |"
+        )
+    md.append("")
+
+    md.append("## 2. Per-step force noise, split by channel\n")
+    arith32, arithC, rounding = perturbation_study()
+    if arith32:
+        md.append(
+            f"Across {len(arith32)} force-active states from random-walk f64 "
+            f"trajectories (4 seeds), relative max force error:\n"
+        )
+        md.append(
+            f"* **arithmetic channel, plain f32** (f32 pipeline vs f64 math at "
+            f"the same f32 positions): median {np.median(arith32):.2e}, "
+            f"max {np.max(arith32):.2e}"
+        )
+        md.append(
+            f"* **arithmetic channel, compensated** (df64 pipeline, what "
+            f"`compensated_forces` ships): median {np.median(arithC):.2e}, "
+            f"max {np.max(arithC):.2e} — "
+            f"{np.median(arith32) / max(np.median(arithC), 1e-30):.0f}x smaller"
+        )
+        md.append(
+            f"* **state-rounding channel** (f64 math at pos64 vs at "
+            f"round_f32(pos64) — irreducible while the state is f32): median "
+            f"{np.median(rounding):.2e}, max {np.max(rounding):.2e}"
+        )
+        md.append(
+            "\nThe compensated arm eliminates the arithmetic channel; the "
+            "state-rounding channel (same order as plain-f32 arithmetic) "
+            "remains in BOTH f32 arms. So: if the attainment gap were driven "
+            "by per-step force noise, the compensated arm should land "
+            "between plain f32 and the f64 arm; if all three arms match, "
+            "the noise channels are below the chaos floor and the gap is "
+            "finite-seed sampling.\n"
+        )
+
+    md.append("## 3. Chaos amplification (f64 physics, 1e-7 position kick)\n")
+    finals = np.asarray(lyapunov_study())
+    n_flip = int((finals > 1e-3).sum())
+    md.append(
+        f"Paired f64 episodes (identical random actions, one side kicked by "
+        f"1e-7 in one coordinate), {len(finals)} seeds: final max-position "
+        f"divergence median {np.median(finals):.2e}, max {finals.max():.2e}; "
+        f"**{n_flip}/{len(finals)} episodes end O(>=1e-3) apart** (>=1 "
+        f"discrete event — adjacency flip, argmin partner switch, PoI-done "
+        f"flip — landed on opposite sides of the pair). Between events the "
+        f"damped plant CONTRACTS the perturbation; the divergence channel is "
+        f"event flips, and the training loop runs ~2.4M env-steps plus "
+        f"stochastic action sampling and gradient feedback on top, so flip "
+        f"opportunities are abundant.\n"
+    )
+    md.append(
+        "Interpretation: per-step numerical noise (sec. 2) is ~1e-7 relative "
+        "for plain f32 — the same order as the kick above — and every "
+        "episode has O(10^2) discrete-event opportunities to amplify one "
+        "flipped comparison into an O(1) trajectory change; the training "
+        "loop compounds this through sampled actions and gradient feedback "
+        "(round-4 study: fused-vs-stock updates differing by ~1e-6/epoch "
+        "produce fully decorrelated final outcomes). Any two arms whose "
+        "physics differ by >=1 ulp anywhere (f32 vs f64, fused vs stock, "
+        "compensated vs plain) are therefore independent draws from the "
+        "seed-chaos distribution; only the attainment DISTRIBUTIONS are "
+        "comparable. The compensated arm injects ~1000x less numerical "
+        "noise per step than plain f32 — if its distribution matches plain "
+        "f32 (and the f64 fidelity arm), the residual gap is not a "
+        "precision effect but finite-seed sampling of a wide chaotic band.\n"
+    )
+
+    out = os.path.join(REPO, "benchmarks", "CONNECT_GAP.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md))
+    print(f"wrote {out}")
+    print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main()
