@@ -145,6 +145,14 @@ class MAPPOConfig(NamedTuple):
     # 2048 -> 1.53M, 4096 -> 1.59M, 8192 -> 1.44M env-steps/s; the
     # pre-hoisting round-3 sweep peaked at 2048).
     fused_block_rows: int = 4096
+    # Fold every LayerNorm affine (scale/bias) into the consuming matmul's
+    # weights before entering the fused-loss kernels (round-5 VPU lever:
+    # removes the per-LN affine multiply-add, the g*scale backward multiply,
+    # and the per-LN dscale/dbias row reductions from the kernel; the grads
+    # are recovered from the folded weight grads with O(H^2) XLA math —
+    # ops/fused_ppo.fold_trunk / unfold_trunk_grads). Algebraically exact;
+    # gradient parity vs stock autodiff pinned in tests/test_fused_ppo.py.
+    fused_fold: bool = True
     # Environment-physics dtype: "float32" (default) or "float64" — the
     # reference's physics is float64 numpy while its networks are float32
     # torch; this knob reproduces that split exactly (f64 env state/step,
@@ -1602,6 +1610,7 @@ class MAPPO:
             clip_param=cfg.clip_param,
             block_rows=cfg.fused_block_rows,
             interpret=self._fused_loss_interpret,
+            fold=cfg.fused_fold,
         )
         pa = actor_params["params"]
         tg_a, dwh, dbh, dls, met_a = FP.actor_ppo_grads_packed(

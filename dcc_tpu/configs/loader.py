@@ -132,6 +132,7 @@ def to_algo_config(cfg: Dict[str, Any]) -> MAPPOConfig:
         compute_dtype=str(cfg.get("compute_dtype", "float32")),
         fused_trunk=str(cfg.get("fused_trunk", "auto")),
         fused_block_rows=int(cfg.get("fused_block_rows", 4096)),
+        fused_fold=bool(cfg.get("fused_fold", True)),
         store_obs_bf16=bool(cfg.get("store_obs_bf16", True)),
         fused_loss=str(cfg.get("fused_loss", "auto")),
         env_dtype=str(cfg.get("env_dtype", "float32")),

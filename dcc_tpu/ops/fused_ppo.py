@@ -96,6 +96,144 @@ def _clip_grad(x, lo, hi):
     return gmax * gmin
 
 
+def _ln_bwd_ns(g, xhat, inv):
+    """LN input-cotangent with the affine FOLDED OUT (scale==1, and
+    dscale/dbias recovered outside the kernel from the folded weight grads
+    — see fold_trunk/unfold_trunk_grads)."""
+    return inv * (
+        g
+        - jnp.mean(g, axis=-1, keepdims=True)
+        - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True)
+    )
+
+
+def _fwd_chain_folded(x, params, n_layers, use_fn, use_relu, bf16):
+    """Trunk forward with every LN affine folded into the NEXT matmul
+    (params = [V_i, u_i] * L from :func:`fold_trunk`; the kernel sees no
+    LN scales/biases at all). Per-element VPU savings vs _forward_chain:
+    the affine multiply-add per LN output, and — via the matching folded
+    backward — the per-LN dscale/dbias row reductions and the g*scale
+    cotangent multiply. Algebraically identical to the unfolded chain."""
+    if use_relu:
+        act = lambda z: jnp.maximum(z.astype(jnp.float32), 0).astype(z.dtype)
+    else:
+        act = lambda z: jnp.tanh(z.astype(jnp.float32)).astype(z.dtype)
+    from .fused_mlp import _ln_stats
+
+    cache = {"layers": []}
+    a = x
+    if use_fn:
+        mu, inv = _ln_stats(a)
+        xhat = (a.astype(jnp.float32) - mu) * inv
+        a = xhat.astype(jnp.bfloat16) if bf16 else xhat
+    for li in range(n_layers):
+        v, u = params[2 * li], params[2 * li + 1]
+        from .fused_mlp import _dense_fwd
+
+        z = _dense_fwd(a, v, u, bf16)
+        r = act(z)
+        mu, inv = _ln_stats(r)
+        xhat = (r.astype(jnp.float32) - mu) * inv
+        y = xhat.astype(jnp.bfloat16) if bf16 else xhat
+        cache["layers"].append((a, z, r, xhat, inv))
+        a = y
+    return a, cache
+
+
+def _trunk_bwd_folded(
+    g, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
+):
+    """Backward through the folded chain from the cotangent of the final
+    xhat. Accumulates only [dV_i, du_i] * L — two reductions fewer per LN
+    than _trunk_bwd, and no g*scale multiply (both recovered outside from
+    (dV, du) — see unfold_trunk_grads)."""
+    pi = len(params)
+    gi = len(grad_refs)
+    for li in reversed(range(n_layers)):
+        a, z, r, xhat, inv = cache["layers"][li]
+        v = params[pi - 2]
+        g = _ln_bwd_ns(g, xhat, inv)
+        if use_relu:
+            g = g * (z.astype(jnp.float32) > 0).astype(jnp.float32)
+        else:
+            rf = r.astype(jnp.float32)
+            g = g * (1.0 - rf * rf)
+        dv = _mm(a, g, bf16, transpose_a=True)
+        du = jnp.sum(g, axis=0, keepdims=True)
+        accum(grad_refs[gi - 1], du)
+        accum(grad_refs[gi - 2], dv)
+        gi -= 2
+        pi -= 2
+        if li > 0:
+            g = _dot(g, v, ((1,), (1,)), bf16)
+    # use_fn: the feature-norm has no kernel-side parameters (its affine
+    # lives in V_1/u_1); observations need no input gradient.
+
+
+def fold_trunk(params, head_w, head_b, n_layers, use_fn):
+    """Fold LN affines into the consuming matmuls (XLA-side, O(H^2)/epoch).
+
+    ``params``: the flat [fn_scale, fn_bias]? + [W, b, s, c] * L list (2-D
+    already, biases as (1, d)); returns (kernel_params = [V, u] * L,
+    head_w', head_b') where each consumer's weight absorbs its INPUT
+    affine: V = s_in.T * W (row scaling), u = c_in @ W + b."""
+    i = 2 if use_fn else 0
+    s_in = params[0] if use_fn else None  # (1, d_in)
+    c_in = params[1] if use_fn else None
+    out = []
+    for li in range(n_layers):
+        w, b = params[i], params[i + 1]
+        if s_in is not None:
+            v = s_in.reshape(-1, 1) * w
+            u = c_in @ w + b
+        else:
+            v, u = w, b
+        out += [v, u]
+        s_in, c_in = params[i + 2], params[i + 3]
+        i += 4
+    head_wf = s_in.reshape(-1, 1) * head_w
+    head_bf = (c_in @ head_w).reshape(head_b.shape) + head_b
+    return tuple(out), head_wf, head_bf
+
+
+def unfold_trunk_grads(
+    kgrads, dhead_w, dhead_b, params, head_w, n_layers, use_fn
+):
+    """Map folded-kernel grads [dV, du] * L + (dW'_h, db'_h) back onto the
+    ORIGINAL parameters (W, b, s, c per layer, fn affine, head):
+
+        dW = s_in^T * dV + c_in^T (x) du      db = du
+        ds_in = sum_d dV * W                  dc_in = du @ W^T
+
+    (each LN affine has exactly one consumer, so assignments, not +=)."""
+    i = 2 if use_fn else 0
+    s_in = params[0] if use_fn else None
+    c_in = params[1] if use_fn else None
+    out = [None] * len(params)
+    for li in range(n_layers):
+        w = params[i]
+        dv, du = kgrads[2 * li], kgrads[2 * li + 1]
+        if s_in is not None:
+            dw = s_in.reshape(-1, 1) * dv + c_in.reshape(-1, 1) * du
+            # grads of the INPUT affine (fn for li=0, ln_{li-1} otherwise)
+            out[i - 2] = jnp.sum(dv * w, axis=1, keepdims=True).reshape(
+                s_in.shape
+            )
+            out[i - 1] = (du @ w.T).reshape(c_in.shape)
+        else:
+            dw = dv
+        out[i] = dw
+        out[i + 1] = du
+        s_in, c_in = params[i + 2], params[i + 3]
+        i += 4
+    w = head_w
+    dwh = s_in.reshape(-1, 1) * dhead_w + c_in.reshape(-1, 1) * dhead_b.reshape(1, -1)
+    out[i - 2] = jnp.sum(dhead_w * w, axis=1, keepdims=True).reshape(s_in.shape)
+    out[i - 1] = (dhead_b.reshape(1, -1) @ w.T).reshape(c_in.shape)
+    dbh = dhead_b
+    return tuple(out), dwh, dbh
+
+
 def _trunk_bwd(g, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16):
     """Backward through the trunk chain from feature cotangent ``g`` (f32,
     (block, hidden)), accumulating parameter grads via ``accum(ref, val)``.
@@ -149,8 +287,10 @@ def _make_accum():
 # ---------------------------------------------------------------------------
 # aux_T rows: [action_0..action_{A-1}, old_log_prob, advantage, valid]
 
-def _actor_kernel(*refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim):
-    n_trunk = (2 if use_fn else 0) + 4 * n_layers
+def _actor_kernel(
+    *refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim, folded=False
+):
+    n_trunk = 2 * n_layers if folded else (2 if use_fn else 0) + 4 * n_layers
     n_in = 2 + n_trunk + 3  # x, aux_T, trunk..., Wh, bh_T, log_std_T
     x_ref, aux_ref = refs[:2]
     trunk_refs = refs[2 : 2 + n_trunk]
@@ -162,7 +302,8 @@ def _actor_kernel(*refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim):
     accum = _make_accum()
 
     params = [p[:] for p in trunk_refs]
-    feat, cache = _forward_chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
+    chain = _fwd_chain_folded if folded else _forward_chain
+    feat, cache = chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
 
     wh = wh_ref[:]  # (H, act)
     # mean_T[d, r] = sum_h Wh[h, d] * feat[r, h]  -> (act, block)
@@ -221,9 +362,8 @@ def _actor_kernel(*refs, n_layers, use_fn, use_relu, bf16, clip_param, act_dim):
     accum(dwh_ref, _dot(feat, dmean_T, ((0,), (1,)), bf16))
     # g_feat[r, h] = sum_d dmean_T[d, r] * Wh[h, d]
     g_feat = _dot(dmean_T, wh.astype(jnp.float32), ((0,), (1,)), bf16)
-    _trunk_bwd(
-        g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
-    )
+    tb = _trunk_bwd_folded if folded else _trunk_bwd
+    tb(g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16)
 
 
 # ---------------------------------------------------------------------------
@@ -245,8 +385,9 @@ def _critic_kernel(
     huber_delta,
     use_huber,
     use_clipped,
+    folded=False,
 ):
-    n_trunk = (2 if use_fn else 0) + 4 * n_layers
+    n_trunk = 2 * n_layers if folded else (2 if use_fn else 0) + 4 * n_layers
     n_in = 3 + n_trunk + 2  # cent, aux_T, norm, trunk..., wv, bv_T
     x_ref, aux_ref, norm_ref = refs[:3]
     trunk_refs = refs[3 : 3 + n_trunk]
@@ -257,7 +398,8 @@ def _critic_kernel(
     accum = _make_accum()
 
     params = [p[:] for p in trunk_refs]
-    feat, cache = _forward_chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
+    chain = _fwd_chain_folded if folded else _forward_chain
+    feat, cache = chain(x_ref[:], params, n_layers, use_fn, use_relu, bf16)
     wv = wv_ref[:]  # (H, 1)
     v = _dot(wv, feat, ((0,), (1,)), bf16)  # (1, block)
     bv_T = bv_ref[:]  # (1, 1)
@@ -315,9 +457,8 @@ def _critic_kernel(
     accum(dwv_ref, _dot(feat, dv, ((0,), (1,)), bf16))
     # g_feat[r, h] = dv[0, r] * wv[h, 0]
     g_feat = _dot(dv, wv.astype(jnp.float32), ((0,), (1,)), bf16)
-    _trunk_bwd(
-        g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16
-    )
+    tb = _trunk_bwd_folded if folded else _trunk_bwd
+    tb(g_feat, cache, params, grad_refs, accum, n_layers, use_fn, use_relu, bf16)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +508,8 @@ def pack_critic_aux(vpred, ret_raw, block_rows):
 
 @lru_cache(maxsize=None)
 def _make_actor_op(
-    n_layers, use_fn, use_relu, bf16, clip_param, act_dim, block_rows, interpret
+    n_layers, use_fn, use_relu, bf16, clip_param, act_dim, block_rows,
+    interpret, folded=False,
 ):
     kw = dict(
         n_layers=n_layers,
@@ -376,6 +518,7 @@ def _make_actor_op(
         bf16=bf16,
         clip_param=clip_param,
         act_dim=act_dim,
+        folded=folded,
     )
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -393,8 +536,12 @@ def _make_actor_op(
         p2 = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in trunk_params)
         bh2 = bh.reshape(-1, 1)  # (act, 1)
         ls2 = log_std.reshape(-1, 1)
+        if folded:
+            kp, whf, bhf = fold_trunk(p2, wh, bh2, n_layers, use_fn)
+        else:
+            kp, whf, bhf = p2, wh, bh2
         grad_shapes = tuple(
-            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2
+            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp
         ) + (
             jax.ShapeDtypeStruct(wh.shape, jnp.float32),
             jax.ShapeDtypeStruct((act_dim, 1), jnp.float32),
@@ -407,13 +554,19 @@ def _make_actor_op(
             grid=grid,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
             in_specs=[row_spec(xp.shape[1]), aux_spec]
-            + [const_spec()] * (len(p2) + 3),
+            + [const_spec()] * (len(kp) + 3),
             out_specs=acc_specs,
             out_shape=grad_shapes,
             interpret=interpret,
-        )(xp, auxp, *p2, wh, bh2, ls2)
-        trunk_grads = outs[: len(p2)]
-        dwh, dbh, dls, met = outs[len(p2) :]
+        )(xp, auxp, *kp, whf, bhf, ls2)
+        kgrads = outs[: len(kp)]
+        dwh, dbh, dls, met = outs[len(kp) :]
+        if folded:
+            trunk_grads, dwh, dbh = unfold_trunk_grads(
+                kgrads, dwh, dbh, p2, wh, n_layers, use_fn
+            )
+        else:
+            trunk_grads = kgrads
         return trunk_grads, dwh, dbh[:, 0], dls[:, 0], met[0]
 
     return op
@@ -422,14 +575,16 @@ def _make_actor_op(
 def actor_ppo_grads_packed(
     xp, auxp, trunk_params, head_kernel, head_bias, log_std, *,
     n_layers, use_feature_norm=True, use_relu=True, bf16=False,
-    clip_param=0.2, act_dim=2, block_rows=2048, interpret=False,
+    clip_param=0.2, act_dim=2, block_rows=2048, interpret=False, fold=False,
 ):
     """Like :func:`actor_ppo_grads` but on pre-padded ``xp`` (rows already
     a block_rows multiple) and a pre-packed aux from :func:`pack_actor_aux`
-    — the hot-loop entry (nothing per-call to re-pack)."""
+    — the hot-loop entry (nothing per-call to re-pack). ``fold=True``
+    runs the affine-folded kernel (fold_trunk/unfold_trunk_grads): same
+    math, every LN affine absorbed into the consuming matmul."""
     op = _make_actor_op(
         n_layers, use_feature_norm, use_relu, bool(bf16), float(clip_param),
-        act_dim, block_rows, interpret,
+        act_dim, block_rows, interpret, folded=bool(fold),
     )
     return op(xp, auxp, tuple(trunk_params), head_kernel, head_bias, log_std)
 
@@ -446,6 +601,7 @@ def _make_critic_op(
     use_clipped,
     block_rows,
     interpret,
+    folded=False,
 ):
     kw = dict(
         n_layers=n_layers,
@@ -456,6 +612,7 @@ def _make_critic_op(
         huber_delta=huber_delta,
         use_huber=use_huber,
         use_clipped=use_clipped,
+        folded=folded,
     )
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -472,8 +629,12 @@ def _make_critic_op(
         )
         p2 = tuple(p.reshape(1, -1) if p.ndim == 1 else p for p in trunk_params)
         bv2 = bv.reshape(-1, 1)  # (1, 1)
+        if folded:
+            kp, wvf, bvf = fold_trunk(p2, wv, bv2, n_layers, use_fn)
+        else:
+            kp, wvf, bvf = p2, wv, bv2
         grad_shapes = tuple(
-            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2
+            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in kp
         ) + (
             jax.ShapeDtypeStruct(wv.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -485,13 +646,19 @@ def _make_critic_op(
             grid=grid,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
             in_specs=[row_spec(xp.shape[1]), aux_spec, const_spec()]
-            + [const_spec()] * (len(p2) + 2),
+            + [const_spec()] * (len(kp) + 2),
             out_specs=acc_specs,
             out_shape=grad_shapes,
             interpret=interpret,
-        )(xp, auxp, norm, *p2, wv, bv2)
-        trunk_grads = outs[: len(p2)]
-        dwv, dbv, met = outs[len(p2) :]
+        )(xp, auxp, norm, *kp, wvf, bvf)
+        kgrads = outs[: len(kp)]
+        dwv, dbv, met = outs[len(kp) :]
+        if folded:
+            trunk_grads, dwv, dbv = unfold_trunk_grads(
+                kgrads, dwv, dbv, p2, wv, n_layers, use_fn
+            )
+        else:
+            trunk_grads = kgrads
         return trunk_grads, dwv, dbv[:, 0], met[0]
 
     return op
@@ -501,16 +668,16 @@ def critic_value_grads_packed(
     xp, auxp, norm, trunk_params, head_kernel, head_bias, *,
     n_layers, use_feature_norm=True, use_relu=True, bf16=False,
     clip_param=0.2, huber_delta=10.0, use_huber=True, use_clipped=True,
-    block_rows=2048, interpret=False,
+    block_rows=2048, interpret=False, fold=False,
 ):
     """Like :func:`critic_value_grads` but on pre-padded ``xp``, a
     pre-packed aux from :func:`pack_critic_aux` (RAW returns), and the
     per-epoch normalizer scalars ``norm = [[shift, scale]]`` applied
-    in-kernel."""
+    in-kernel. ``fold=True`` as in :func:`actor_ppo_grads_packed`."""
     op = _make_critic_op(
         n_layers, use_feature_norm, use_relu, bool(bf16), float(clip_param),
         float(huber_delta), bool(use_huber), bool(use_clipped), block_rows,
-        interpret,
+        interpret, folded=bool(fold),
     )
     return op(xp, auxp, norm, tuple(trunk_params), head_kernel, head_bias)
 
@@ -532,6 +699,7 @@ def actor_ppo_grads(
     clip_param: float = 0.2,
     block_rows: int = 1024,
     interpret: bool = False,
+    fold: bool = False,
 ):
     """SUM-reduced clipped-surrogate loss + gradients over all rows.
 
@@ -548,6 +716,7 @@ def actor_ppo_grads(
         act.shape[-1],
         block_rows,
         interpret,
+        folded=bool(fold),
     )
     xp = _pad_rows(x, block_rows)
     auxp = pack_actor_aux(act, old_log_prob, adv, block_rows)
@@ -572,6 +741,7 @@ def critic_value_grads(
     use_clipped: bool = True,
     block_rows: int = 1024,
     interpret: bool = False,
+    fold: bool = False,
 ):
     """SUM-reduced clipped/Huber value loss + gradients over all rows.
 
@@ -588,6 +758,7 @@ def critic_value_grads(
         bool(use_clipped),
         block_rows,
         interpret,
+        folded=bool(fold),
     )
     xp = _pad_rows(cent, block_rows)
     auxp = pack_critic_aux(vpred, ret_target, block_rows)

@@ -61,7 +61,8 @@ def _actor_loss_flax(actor, params, obs, act, old_lp, adv):
     return loss, ratio.sum()
 
 
-def test_actor_grads_match_autodiff():
+@pytest.mark.parametrize("fold", [False, True])
+def test_actor_grads_match_autodiff(fold):
     actor, params, obs, act, old_lp, adv = _setup_actor()
     (loss_ref, ratio_ref), grads_ref = jax.value_and_grad(
         lambda p: _actor_loss_flax(actor, p, obs, act, old_lp, adv),
@@ -73,7 +74,7 @@ def test_actor_grads_match_autodiff():
     tg, dwh, dbh, dls, met = actor_ppo_grads(
         obs, act, old_lp, adv, trunk, p["act_out"]["kernel"],
         p["act_out"]["bias"], p["log_std"],
-        n_layers=2, clip_param=CLIP, block_rows=32, interpret=True,
+        n_layers=2, clip_param=CLIP, block_rows=32, interpret=True, fold=fold,
     )
     np.testing.assert_allclose(float(met[0]), float(loss_ref), rtol=1e-5)
     np.testing.assert_allclose(float(met[1]), float(ratio_ref), rtol=1e-5)
@@ -85,7 +86,7 @@ def test_actor_grads_match_autodiff():
             np.asarray(got).reshape(np.asarray(want).shape),
             np.asarray(want),
             rtol=2e-4,
-            atol=2e-5,
+            atol=5e-5,
         )
     np.testing.assert_allclose(
         np.asarray(dwh), np.asarray(gr["act_out"]["kernel"]), rtol=2e-4, atol=2e-5
@@ -130,11 +131,12 @@ def _critic_loss_flax(critic, params, cent, vpred, ret, use_huber, use_clipped):
     return loss.sum()
 
 
+@pytest.mark.parametrize("fold", [False, True])
 @pytest.mark.parametrize(
     "use_huber,use_clipped",
     [(True, True), (True, False), (False, True), (False, False)],
 )
-def test_critic_grads_match_autodiff(use_huber, use_clipped):
+def test_critic_grads_match_autodiff(use_huber, use_clipped, fold):
     critic, params, cent, vpred, ret = _setup_critic()
     loss_ref, grads_ref = jax.value_and_grad(
         lambda p: _critic_loss_flax(
@@ -148,7 +150,7 @@ def test_critic_grads_match_autodiff(use_huber, use_clipped):
         cent, vpred, ret, trunk, p["v_out"]["kernel"], p["v_out"]["bias"],
         n_layers=2, clip_param=CLIP, huber_delta=DELTA,
         use_huber=use_huber, use_clipped=use_clipped,
-        block_rows=32, interpret=True,
+        block_rows=32, interpret=True, fold=fold,
     )
     np.testing.assert_allclose(float(met[0]), float(loss_ref), rtol=1e-5)
     gr = grads_ref["params"]
@@ -157,7 +159,7 @@ def test_critic_grads_match_autodiff(use_huber, use_clipped):
             np.asarray(got).reshape(np.asarray(want).shape),
             np.asarray(want),
             rtol=2e-4,
-            atol=2e-5,
+            atol=5e-5,
         )
     np.testing.assert_allclose(
         np.asarray(dwv), np.asarray(gr["v_out"]["kernel"]), rtol=2e-4, atol=2e-5
