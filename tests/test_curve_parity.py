@@ -97,17 +97,19 @@ def test_final_coverage_distribution(curves):
 
 @pytest.mark.parametrize("arm,alpha", [("fusedf32", 0.01), ("bf16", 0.05)])
 def test_study_arm_not_significantly_below_reference(arm, alpha):
-    """Round-4 fused-kernel robustness study arms
+    """Fused-kernel robustness study arms
     (benchmarks/learning_curves/dcc_tpu_{fusedf32,bf16}_seed*.json):
 
-    * fusedf32 — fused_loss forced on at f32. The study found a heavier
-      low-coverage tail (4/24 seeds below 0.65 vs 0 in every stock and
-      reference arm), which is why f32 'auto' now resolves to stock
-      autodiff; the arm stays committed as the regression canary at a
-      looser alpha (its one-sided p vs the reference is ~0.11 — disclosed,
-      not significant, but real-looking).
-    * bf16 — the shipped bf16 PRODUCTION config (fused kernels on):
-      p vs reference ~0.5, mild tail (2/12), disclosed in PERF_NOTES.
+    * fusedf32 — fused_loss forced on at f32, 48 seeds (round 5 grew the
+      arm to statistical resolution): tail 7/48 below 0.65 vs 0/30 in the
+      stock-f32 arms — Fisher p = 0.028, the tail is REAL vs stock, which
+      is why f32 'auto' resolves to stock autodiff. But the rate matches
+      the reference's own 1/10 (Fisher p = 0.58) and the arm is not
+      significantly below the reference (one-sided MWU p = 0.16), so it
+      stays committed as a canary at the looser alpha.
+    * bf16 — the shipped bf16 PRODUCTION config (fused kernels on,
+      affine-folded since round 5): distribution matches the reference;
+      mild tail disclosed in PERF_NOTES.
     """
     mannwhitneyu = pytest.importorskip("scipy.stats").mannwhitneyu
 
