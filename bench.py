@@ -351,6 +351,7 @@ def main():
             1 if head_algo._fused_loss else head_cfg["chunks"]
         ),
         "fused_trunk": "kernel" if head_algo.actor.fused else "off",
+        "fused_fold": bool(head_algo.cfg.fused_fold),
         "remat": head_cfg["remat"],
         "episode_length": T,
     }

@@ -92,7 +92,9 @@ def test_final_coverage_distribution(curves):
         f"(one-sided MWU p={p:.4f}; dcc={sorted(np.round(d, 3))}, "
         f"ref={sorted(np.round(r, 3))})"
     )
-    assert d.mean() - r.mean() > -0.10, (d.mean(), r.mean())
+    # round-5 tightening (VERDICT item 8): the data sits at -0.008, so a
+    # -0.05 bound leaves real headroom while catching a systematic drift
+    assert d.mean() - r.mean() > -0.05, (d.mean(), r.mean())
 
 
 @pytest.mark.parametrize("arm,alpha", [("fusedf32", 0.01), ("bf16", 0.05)])
@@ -159,16 +161,17 @@ def test_connect_final_coverage_within_seed_variance(connect_curves):
 
 
 def test_connect_distribution(connect_curves):
-    """Connectivity-on distribution gate. Round-4 status (8 ref vs 16 dcc
-    seeds): gap -0.055, one-sided MWU p ~= 0.07 — the framework's weakest
-    parity point, disclosed in README (step physics are golden-identical
-    to <=1e-6; the residual is a training-attainment trend under the
-    1e3-Lipschitz pull force). Gated at alpha=0.01 so a real regression
-    (p collapsing) fails while the known, disclosed trend passes."""
+    """Connectivity-on distribution gate. Round-4's -0.055 / p=0.07 at
+    asymmetric 8v16 seeds was small-sample bias in the reference band:
+    with symmetric power (round 5: 16 ref vs 32 dcc seeds) the gap is
+    -0.016 with one-sided MWU p = 0.21 — statistically matched. Gate
+    tightened from the round-4 disclosure alpha 0.01 to the standard
+    0.05, plus a mean-gap bound (VERDICT item 8)."""
     mannwhitneyu = pytest.importorskip("scipy.stats").mannwhitneyu
 
     ref, dcc = connect_curves
     r = np.array(list(ref.values()))
     d = np.array(list(dcc.values()))
     p = float(mannwhitneyu(d, r, alternative="less").pvalue)
-    assert p > 0.01, (p, sorted(np.round(d, 3)), sorted(np.round(r, 3)))
+    assert p > 0.05, (p, sorted(np.round(d, 3)), sorted(np.round(r, 3)))
+    assert d.mean() - r.mean() > -0.05, (d.mean(), r.mean())
