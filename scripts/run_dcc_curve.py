@@ -101,6 +101,8 @@ def main():
             # x64/platform updates already applied at module top (before
             # the dcc_tpu import); keep the TPU-auto kernels out too
             overrides.setdefault("gae_backend", "xla")
+    if os.environ.get("DCC_CURVE_OVERRIDES"):  # generic JSON overrides hook
+        overrides.update(json.loads(os.environ["DCC_CURVE_OVERRIDES"]))
     tag = os.environ.get("DCC_CURVE_TAG", "")
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])

@@ -125,6 +125,35 @@ def test_study_arm_not_significantly_below_reference(arm, alpha):
     assert p > alpha, (p, sorted(np.round(a, 3)), sorted(np.round(r, 3)))
 
 
+def test_recurrent_band(regen_note="see run_dcc_curve.py DCC_CURVE_RECURRENT"):
+    """Recurrent-MAPPO learning band at the real run shape (round-4 VERDICT
+    item 6): the GRU config (use_recurrent_policy, chunked PPO) must reach
+    meaningful final coverage. Round-5 artifacts: 4 seeds, final-20
+    coverage 0.85-0.93 — ABOVE the feed-forward band; gate floor 0.6."""
+    band = _final_coverages("dcc_tpu_rnn")
+    if len(band) < 3:
+        pytest.skip("recurrent-curve artifacts not present")
+    vals = np.array(list(band.values()))
+    assert vals.min() > 0.6, band
+    assert vals.mean() > 0.7, band
+
+
+def test_maddpg_band():
+    """MADDPG self-band (round-4 VERDICT item 5). The reference ships
+    MADDPG as unwired dead code, so there is no reference curve or run
+    shape; this band pins what the shipped implementation attains so a
+    regression (collapse) fails. See the artifact docstrings for the
+    budget; MADDPG is honestly much weaker than MAPPO on this env."""
+    band = _final_coverages("dcc_tpu_maddpg", min_iters=200)
+    if len(band) < 5:
+        pytest.skip("maddpg-curve artifacts not present")
+    vals = np.array(list(band.values()))
+    # floor: clearly above a collapsed policy for most seeds; the band
+    # documents (rather than hides) occasional degenerate seeds
+    assert np.median(vals) > 0.3, band
+    assert (vals > 0.25).sum() >= len(vals) - 1, band
+
+
 @pytest.fixture(scope="module")
 def connect_curves():
     """BASELINE config #2 behavior: connectivity-preservation force ON
