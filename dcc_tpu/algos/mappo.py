@@ -140,11 +140,13 @@ class MAPPOConfig(NamedTuple):
     fused_trunk: str = "auto"
     # Row-tile size of the fused kernels' grids (rows staged into VMEM per
     # program; shared by the trunk kernel and the fused-loss kernels).
-    # 4096 is the round-4 measured-fastest tile for the headline 16k-env
-    # configuration (benchmarks/PERF_NOTES.md sweep: 1024 -> 1.39M,
-    # 2048 -> 1.53M, 4096 -> 1.59M, 8192 -> 1.44M env-steps/s; the
-    # pre-hoisting round-3 sweep peaked at 2048).
-    fused_block_rows: int = 4096
+    # 6144 is the round-5 measured-fastest tile for the headline 16k-env
+    # configuration under the folded kernels (benchmarks/PERF_NOTES.md:
+    # 2048 -> 1.74M, 4096 -> 1.82M, 5120 -> 1.84M, 6144 -> 1.85M,
+    # 7168 -> 1.73M, 8192 -> 1.63M env-steps/s; each kernel change has
+    # moved the optimum — round 3 peaked at 2048, round 4 at 4096 —
+    # so re-sweep after touching the kernels).
+    fused_block_rows: int = 6144
     # Fold every LayerNorm affine (scale/bias) into the consuming matmul's
     # weights before entering the fused-loss kernels (round-5 VPU lever:
     # removes the per-LN affine multiply-add, the g*scale backward multiply,
