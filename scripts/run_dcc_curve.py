@@ -103,7 +103,10 @@ def main():
             overrides.setdefault("gae_backend", "xla")
     if os.environ.get("DCC_CURVE_OVERRIDES"):  # generic JSON overrides hook
         overrides.update(json.loads(os.environ["DCC_CURVE_OVERRIDES"]))
-    tag = os.environ.get("DCC_CURVE_TAG", "")
+    # Non-MAPPO arms default their tag to the algo name so a missing
+    # DCC_CURVE_TAG can never overwrite the main parity band's artifacts
+    # (dcc_tpu_seed*.json) with another algorithm's curves.
+    tag = os.environ.get("DCC_CURVE_TAG", "" if algo_name == "mappo" else algo_name)
     cfg, env_cfg, algo_cfg = load_config(overrides)
     n_iters = int(cfg["n_iters"])
 

@@ -110,8 +110,9 @@ def test_study_arm_not_significantly_below_reference(arm, alpha):
       significantly below the reference (one-sided MWU p = 0.16), so it
       stays committed as a canary at the looser alpha.
     * bf16 — the shipped bf16 PRODUCTION config (fused kernels on,
-      affine-folded since round 5): distribution matches the reference;
-      mild tail disclosed in PERF_NOTES.
+      affine-folded since round 5): 24 seeds, 0.810 +/- 0.103, one-sided
+      MWU p = 0.67 vs the reference — distribution matched; mild 2/24
+      tail disclosed in PERF_NOTES.
     """
     mannwhitneyu = pytest.importorskip("scipy.stats").mannwhitneyu
 
@@ -129,7 +130,8 @@ def test_recurrent_band(regen_note="see run_dcc_curve.py DCC_CURVE_RECURRENT"):
     """Recurrent-MAPPO learning band at the real run shape (round-4 VERDICT
     item 6): the GRU config (use_recurrent_policy, chunked PPO) must reach
     meaningful final coverage. Round-5 artifacts: 4 seeds, final-20
-    coverage 0.85-0.93 — ABOVE the feed-forward band; gate floor 0.6."""
+    coverage 0.69-0.93 (mean 0.79 — comparable to the feed-forward band's
+    0.80); gate floor 0.6."""
     band = _final_coverages("dcc_tpu_rnn")
     if len(band) < 3:
         pytest.skip("recurrent-curve artifacts not present")
