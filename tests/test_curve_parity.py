@@ -129,8 +129,8 @@ def test_study_arm_not_significantly_below_reference(arm, alpha):
 def test_recurrent_band(regen_note="see run_dcc_curve.py DCC_CURVE_RECURRENT"):
     """Recurrent-MAPPO learning band at the real run shape (round-4 VERDICT
     item 6): the GRU config (use_recurrent_policy, chunked PPO) must reach
-    meaningful final coverage. Round-5 artifacts: 4 seeds, final-20
-    coverage 0.69-0.93 (mean 0.79 — comparable to the feed-forward band's
+    meaningful final coverage. Round-5 artifacts: 8 seeds, final-20
+    coverage 0.68-0.93 (mean 0.78 — comparable to the feed-forward band's
     0.80); gate floor 0.6."""
     band = _final_coverages("dcc_tpu_rnn")
     if len(band) < 3:
@@ -143,9 +143,12 @@ def test_recurrent_band(regen_note="see run_dcc_curve.py DCC_CURVE_RECURRENT"):
 def test_maddpg_band():
     """MADDPG self-band (round-4 VERDICT item 5). The reference ships
     MADDPG as unwired dead code, so there is no reference curve or run
-    shape; this band pins what the shipped implementation attains so a
-    regression (collapse) fails. See the artifact docstrings for the
-    budget; MADDPG is honestly much weaker than MAPPO on this env."""
+    shape; this band pins what the shipped implementation attains at the
+    reference-key-parity config (hidden [64], 50 updates/iter, batch 256
+    — hyperparameters the reference author never actually trained) so a
+    regression (collapse) fails. That config plateaus ~0.36; see
+    test_maddpg_tuned_band for the same algorithm with a working
+    budget."""
     band = _final_coverages("dcc_tpu_maddpg", min_iters=200)
     if len(band) < 5:
         pytest.skip("maddpg-curve artifacts not present")
@@ -154,6 +157,20 @@ def test_maddpg_band():
     # documents (rather than hides) occasional degenerate seeds
     assert np.median(vals) > 0.3, band
     assert (vals > 0.25).sum() >= len(vals) - 1, band
+
+
+def test_maddpg_tuned_band():
+    """MADDPG at the tuned config (algo_config/maddpg_tuned.yaml: 2x128
+    trunk, 150 updates/iter, batch 1024, warmup 3000): the round-5 sweep
+    found the default band's weakness is budget, not the algorithm — the
+    tuned band reaches final-20 coverage 0.77-0.88 (mean 0.83, 6 seeds), on par with MAPPO's
+    feed-forward band. Artifacts: dcc_tpu_maddpg_tuned_seed*.json."""
+    band = _final_coverages("dcc_tpu_maddpg_tuned", min_iters=200)
+    if len(band) < 3:
+        pytest.skip("maddpg-tuned artifacts not present")
+    vals = np.array(list(band.values()))
+    assert vals.min() > 0.6, band
+    assert vals.mean() > 0.75, band
 
 
 @pytest.fixture(scope="module")

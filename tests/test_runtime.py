@@ -218,6 +218,26 @@ def test_train_cli_algo_yaml_selects_maddpg(tmp_path):
     assert int(learner.ts.iteration) == 1
 
 
+def test_maddpg_tuned_yaml_loads():
+    """algo_config/maddpg_tuned.yaml (the working-budget MADDPG config,
+    band ~0.82-0.88 vs ~0.36 at the reference-key-parity defaults) maps
+    onto MADDPGConfig with its tuned values."""
+    import train as cli
+    from dcc_tpu.configs.loader import load_yaml_merged, to_maddpg_config
+
+    algo_yaml = os.path.join(
+        os.path.dirname(os.path.abspath(cli.__file__)),
+        "dcc_tpu", "configs", "algo_config", "maddpg_tuned.yaml",
+    )
+    cfg = load_yaml_merged(algo_yaml=algo_yaml)
+    assert cfg["algo_file"] == "maddpg"
+    mcfg = to_maddpg_config(cfg)
+    assert mcfg.hidden_sizes == (128, 128)
+    assert mcfg.updates_per_iter == 150
+    assert mcfg.batch_size == 1024
+    assert mcfg.warmup_steps == 3000
+
+
 def test_live_viewer_headless_degrade(tmp_path):
     """The live interactive viewer (render/live.py — the workstation analog
     of the reference's pyglet window, environment.py:209-315) degrades to a
