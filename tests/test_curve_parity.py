@@ -163,7 +163,7 @@ def test_maddpg_tuned_band():
     """MADDPG at the tuned config (algo_config/maddpg_tuned.yaml: 2x128
     trunk, 150 updates/iter, batch 1024, warmup 3000): the round-5 sweep
     found the default band's weakness is budget, not the algorithm — the
-    tuned band reaches final-20 coverage 0.77-0.88 (mean 0.83, 6 seeds), on par with MAPPO's
+    tuned band reaches final-20 coverage 0.77-0.88 (mean 0.83, 10 seeds), on par with MAPPO's
     feed-forward band. Artifacts: dcc_tpu_maddpg_tuned_seed*.json."""
     band = _final_coverages("dcc_tpu_maddpg_tuned", min_iters=200)
     if len(band) < 3:
