@@ -145,7 +145,10 @@ class MAPPOConfig(NamedTuple):
     # 2048 -> 1.74M, 4096 -> 1.82M, 5120 -> 1.84M, 6144 -> 1.85M,
     # 7168 -> 1.73M, 8192 -> 1.63M env-steps/s; each kernel change has
     # moved the optimum — round 3 peaked at 2048, round 4 at 4096 —
-    # so re-sweep after touching the kernels).
+    # so re-sweep after touching the kernels). At wide observation widths
+    # the effective tile is clamped so the kernels' width-sized VMEM
+    # staging fits the scoped-vmem cap (ops/fused_mlp.clamp_block_rows;
+    # e.g. the 20-UAV preset's 4840-wide cent-obs clamps to 768).
     fused_block_rows: int = 6144
     # Fold every LayerNorm affine (scale/bias) into the consuming matmul's
     # weights before entering the fused-loss kernels (round-5 VPU lever:
@@ -426,6 +429,16 @@ class MAPPO:
         self.obs_dim = env_cfg.obs_dim
         self.cent_obs_dim = (
             env_cfg.share_obs_dim if cfg.use_centralized_v else env_cfg.obs_dim
+        )
+        # Fused-loss row tile, clamped so the widest kernel input's VMEM
+        # staging fits the scoped-vmem cap (wide cent-obs configs like the
+        # 20-UAV preset OOM at the shipped 6144 otherwise) — see
+        # ops/fused_mlp.clamp_block_rows. The default 4x20 config is never
+        # clamped.
+        from ..ops.fused_mlp import clamp_block_rows
+
+        self._fused_br = clamp_block_rows(
+            cfg.fused_block_rows, max(self.cent_obs_dim, env_cfg.obs_dim)
         )
         self._recurrent = cfg.use_recurrent_policy or cfg.use_naive_recurrent
         if cfg.use_recurrent_policy and cfg.episode_length % cfg.data_chunk_length:
@@ -1610,7 +1623,7 @@ class MAPPO:
             use_relu=cfg.use_relu,
             bf16=bf16,
             clip_param=cfg.clip_param,
-            block_rows=cfg.fused_block_rows,
+            block_rows=self._fused_br,
             interpret=self._fused_loss_interpret,
             fold=cfg.fused_fold,
         )
@@ -1720,7 +1733,7 @@ class MAPPO:
         # it, update()'s routing), so cent rows are always materialized
         assert cent_b is not None
         cent_r, vpred_r, ret_r = map(rows, (cent_b, vpred_b, ret_target))
-        br = cfg.fused_block_rows
+        br = self._fused_br
         actor_params, critic_params, a_opt, c_opt, metrics = self._fused_core(
             actor_params, critic_params, a_opt, c_opt,
             _pad_rows(obs_r, br),
@@ -1848,7 +1861,7 @@ class MAPPO:
                 f"divisible by the mesh size ({n_shards})"
             )
         R, Rv = T * E * A, T * E  # GLOBAL row counts (loss means)
-        br = cfg.fused_block_rows
+        br = self._fused_br
         net_in = (
             (lambda x: x.astype(self._net_dtype))
             if self._net_dtype is not None
@@ -1938,7 +1951,7 @@ class MAPPO:
             if self._net_dtype is not None
             else (lambda x: x)
         )
-        br = cfg.fused_block_rows
+        br = self._fused_br
         obs_in = net_in(traj.obs[:-1])
         obs_p = _pad_rows(obs_in.reshape(R, *self._obs_shape), br)
         cent_p = _pad_rows(obs_in.reshape(Rv, A * self.obs_dim), br)

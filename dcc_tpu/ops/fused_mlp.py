@@ -228,6 +228,25 @@ def _pad_rows(x, block):
     return x
 
 
+def clamp_block_rows(block_rows: int, d_in: int, n_bufs: int = 3) -> int:
+    """Largest row tile (multiple of 256, >= 256) whose width-sized VMEM
+    buffers fit the scoped-vmem budget.
+
+    The kernels stage O(n_bufs) ``(block, d_in)`` float32 buffers per tile
+    (the input tile, the feature-norm xhat, and the backward's dx /
+    rematerialized copy); at wide inputs a fixed tile blows the Mosaic
+    scoped-vmem cap — e.g. the 20-UAV preset's 4840-wide centralized obs
+    at block 4096 needs ~120 MB against the 100 MB limit (observed
+    compile OOM). Budget half the cap for the width-sized buffers, leave
+    the rest for params, hidden-width tiles, and pipeline
+    double-buffering; narrow inputs (the 4x20 default's 110/440) are
+    never clamped at the shipped tile sizes."""
+    budget = _VMEM_LIMIT // 2
+    cap = budget // (n_bufs * d_in * 4)
+    cap = max(256, (cap // 256) * 256)
+    return min(block_rows, cap)
+
+
 @lru_cache(maxsize=None)
 def _make_op(n_layers, use_fn, use_relu, bf16, block_rows, interpret):
     n_params = (2 if use_fn else 0) + 4 * n_layers
@@ -320,6 +339,7 @@ def fused_mlp(
     p2 = tuple(
         p.reshape(1, -1) if p.ndim == 1 else p for p in params
     )
+    block_rows = clamp_block_rows(block_rows, x2.shape[-1])
     op = _make_op(
         n_layers, use_feature_norm, use_relu, bool(bf16), block_rows, interpret
     )

@@ -181,3 +181,64 @@ def test_train_iteration_fused_matches_flax():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-3
         )
+
+
+def test_clamp_block_rows_wide_inputs():
+    """Width-aware tile clamp (round-5 fix): a fixed 6144-row tile at the
+    20-UAV preset's 4840-wide centralized obs needs ~120 MB of scoped VMEM
+    against Mosaic's 100 MB cap (observed compile OOM on hardware);
+    clamp_block_rows bounds the width-sized staging to half the cap. The
+    shipped default widths (110 actor / 440 critic) are never clamped."""
+    from dcc_tpu.ops.fused_mlp import _VMEM_LIMIT, clamp_block_rows
+
+    assert clamp_block_rows(6144, 110) == 6144
+    assert clamp_block_rows(6144, 440) == 6144
+    wide = clamp_block_rows(6144, 4840)
+    assert wide < 6144 and wide >= 256 and wide % 256 == 0
+    assert 3 * wide * 4840 * 4 <= _VMEM_LIMIT // 2
+    # monotone + floor
+    assert clamp_block_rows(6144, 100_000) == 256
+
+
+def test_fused_mlp_wide_input_matches_flax_schedule():
+    """The internally clamped tile is numerically identical to the unclamped
+    kernel (grid decomposition only changes the tile loop): check the fused
+    trunk on a wide (cent-obs-like) input against the plain-XLA schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcc_tpu.ops.fused_mlp import fused_mlp
+
+    d_in, hidden, rows = 1210, 32, 512
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    params = [
+        jnp.ones((d_in,)),  # fn scale
+        jnp.zeros((d_in,)),  # fn bias
+        jax.random.normal(ks[0], (d_in, hidden)) * 0.05,
+        jnp.zeros((hidden,)),
+        jnp.ones((hidden,)),
+        jnp.zeros((hidden,)),
+        jax.random.normal(ks[1], (hidden, hidden)) * 0.05,
+        jnp.zeros((hidden,)),
+        jnp.ones((hidden,)),
+        jnp.zeros((hidden,)),
+    ]
+    x = jax.random.normal(ks[2], (rows, d_in))
+    out = fused_mlp(
+        x, params, n_layers=2, use_feature_norm=True, use_relu=True,
+        bf16=False, block_rows=6144, interpret=True,
+    )
+
+    def ln(v, s, b):  # flax semantics: fast-variance, eps 1e-6
+        mu = v.mean(-1, keepdims=True)
+        var = jnp.maximum((v * v).mean(-1, keepdims=True) - mu * mu, 0.0)
+        return (v - mu) / jnp.sqrt(var + 1e-6) * s + b
+
+    a = ln(x, params[0], params[1])
+    for i in (2, 6):
+        a = jnp.maximum(a @ params[i] + params[i + 1], 0)
+        a = ln(a, params[i + 2], params[i + 3])
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a), atol=2e-4)
